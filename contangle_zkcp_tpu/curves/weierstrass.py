@@ -1,14 +1,21 @@
-"""Batched short-Weierstrass (a = 0) group ops in Jacobian coordinates.
+"""Batched short-Weierstrass (a = 0) group ops, complete projective form.
 
 Generic over the coordinate field: instantiate with an `Fp` (BLS12-381 G1,
 BN254 G1, Pasta) or an `Fq2Device` (BLS12-381/BN254 G2) — one group law
-for all of them.  Branch-free: the doubling/infinity special cases of the
-Jacobian addition law are resolved with lane masks (`select`), so the MSM
-bucket accumulators can run millions of lanes in lockstep.  (TPU-native
-replacement for arkworks' ark-ec short-Weierstrass projective backend that
-Groth16's MSMs run on; SURVEY.md §2.2.)
+for all of them.  (TPU-native replacement for arkworks' ark-ec
+short-Weierstrass projective backend that Groth16's MSMs run on;
+SURVEY.md §2.2.)
 
-Point batches are pytrees {x, y, z}; infinity is encoded as z == 0.
+The group law is the Renes–Costello–Batina (2015) *complete* addition for
+a = 0 (their Algorithm 7): a single 12-multiplication straight-line formula
+valid for every input pair — identity (0:1:0), doubling, inverses included.
+That completeness is the whole point on a TPU: the MSM bucket loop and the
+scalar-mul ladder run one branch-free instruction stream across millions
+of lanes, with no masks, no per-case doubling path, and a compile graph a
+third the size of a masked Jacobian law.
+
+Point batches are pytrees {x, y, z} of projective coordinates; infinity is
+(0 : 1 : 0), i.e. z == 0.
 """
 
 from __future__ import annotations
@@ -19,17 +26,31 @@ import numpy as np
 
 
 class SWDevice:
-    def __init__(self, ops, host_curve=None):
-        """ops: Fp or Fq2Device; host_curve: optional host.SWCurve mirror."""
+    def __init__(self, ops, host_curve=None, b=None, b2=None):
+        """ops: Fp or Fq2Device; host_curve: optional host.SWCurve mirror;
+        b: curve constant (int for Fp; (c0, c1) for Fq2; defaults from
+        host_curve when given)."""
         self.ops = ops
         self.host_curve = host_curve
+        if b is None and host_curve is not None:
+            b = host_curve.b
+        if b is None and b2 is not None:
+            b = b2
+        assert b is not None, "curve constant b required"
+        self.b = b
+        if _is_fq2(ops):
+            p = ops.p
+            b3 = ((3 * b[0]) % p, (3 * b[1]) % p)
+        else:
+            b3 = 3 * b % ops.p
+        self._b3 = np.asarray(ops.encode(b3))
         self.add = jax.jit(self._add_impl)
         self.double = jax.jit(self._double_impl)
         self.scalar_mul_bits = jax.jit(self._scalar_mul_bits_impl)
 
     # ---------------------------------------------------------------- host
     def encode_points(self, pts):
-        """[(x, y) or None, ...] -> Jacobian device batch (z=1, inf z=0)."""
+        """[(x, y) or None, ...] -> projective device batch (z=1; inf (0,1,0))."""
         ops = self.ops
         zero_c = 0 if not _is_fq2(ops) else (0, 0)
         one_c = 1 if not _is_fq2(ops) else (1, 0)
@@ -54,16 +75,14 @@ class SWDevice:
                 out.append(None)
                 continue
             zi = _h_inv(z, ops)
-            zi2 = _h_mul(zi, zi, ops)
-            zi3 = _h_mul(zi2, zi, ops)
-            out.append((_h_mul(x, zi2, ops), _h_mul(y, zi3, ops)))
+            out.append((_h_mul(x, zi, ops), _h_mul(y, zi, ops)))
         return out
 
     def identity(self, shape=()):
         ops = self.ops
         zero = ops.zeros(shape)
         one = ops.one_mont(shape)
-        return {"x": one, "y": one, "z": zero}
+        return {"x": zero, "y": one, "z": zero}
 
     def is_infinity(self, P):
         return self.ops.is_zero(P["z"])
@@ -72,60 +91,75 @@ class SWDevice:
         ops = self.ops
         return {c: ops.select(cond, P[c], Q[c]) for c in ("x", "y", "z")}
 
-    # -------------------------------------------------------------- device
-    def _double_impl(self, P):
-        """dbl-2009-l (a = 0): 2M + 5S."""
+    def host_add(self, P, Q):
+        """Exact host affine addition (field-generic; a = 0)."""
+        if P is None:
+            return Q
+        if Q is None:
+            return P
         o = self.ops
-        X, Y, Z = P["x"], P["y"], P["z"]
-        A = o.square(X)
-        B = o.square(Y)
-        C = o.square(B)
-        t = o.square(o.add(X, B))
-        D = o.sub(o.sub(t, A), C)
-        D = o.add(D, D)
-        E = o.add(o.add(A, A), A)
-        F = o.square(E)
-        X3 = o.sub(F, o.add(D, D))
-        C8 = _dbl_n(o, C, 3)  # 8C
-        Y3 = o.sub(o.mul(E, o.sub(D, X3)), C8)
-        Z3 = o.mul(o.add(Y, Y), Z)
-        return {"x": X3, "y": Y3, "z": Z3}
+        x1, y1 = P
+        x2, y2 = Q
+        if x1 == x2:
+            if _h_is_zero(_h_add(y1, y2, o)):
+                return None
+            num = _h_smul(_h_mul(x1, x1, o), 3, o)
+            den = _h_smul(y1, 2, o)
+        else:
+            num = _h_sub(y2, y1, o)
+            den = _h_sub(x2, x1, o)
+        lam = _h_mul(num, _h_inv(den, o), o)
+        x3 = _h_sub(_h_sub(_h_mul(lam, lam, o), x1, o), x2, o)
+        y3 = _h_sub(_h_mul(lam, _h_sub(x1, x3, o), o), y1, o)
+        return (x3, y3)
 
+    def host_mul(self, k: int, P):
+        R = None
+        Q = P
+        while k > 0:
+            if k & 1:
+                R = self.host_add(R, Q)
+            Q = self.host_add(Q, Q)
+            k >>= 1
+        return R
+
+    # -------------------------------------------------------------- device
     def _add_impl(self, P, Q):
-        """add-2007-bl with mask-resolved special cases."""
+        """Renes-Costello-Batina complete addition, a = 0 (Algorithm 7)."""
         o = self.ops
+        b3 = jnp.asarray(self._b3)
         X1, Y1, Z1 = P["x"], P["y"], P["z"]
         X2, Y2, Z2 = Q["x"], Q["y"], Q["z"]
-        Z1Z1 = o.square(Z1)
-        Z2Z2 = o.square(Z2)
-        U1 = o.mul(X1, Z2Z2)
-        U2 = o.mul(X2, Z1Z1)
-        S1 = o.mul(o.mul(Y1, Z2), Z2Z2)
-        S2 = o.mul(o.mul(Y2, Z1), Z1Z1)
-        H = o.sub(U2, U1)
-        r = o.sub(S2, S1)
-        HH = o.square(H)
-        HHH = o.mul(H, HH)
-        V = o.mul(U1, HH)
-        X3 = o.sub(o.sub(o.square(r), HHH), o.add(V, V))
-        Y3 = o.sub(o.mul(r, o.sub(V, X3)), o.mul(S1, HHH))
-        Z3 = o.mul(o.mul(Z1, Z2), H)
-        out = {"x": X3, "y": Y3, "z": Z3}
-        # special cases
-        h_zero = o.is_zero(H)
-        r_zero = o.is_zero(r)
-        p_inf = o.is_zero(Z1)
-        q_inf = o.is_zero(Z2)
-        dbl = self._double_impl(P)
-        same = jnp.logical_and(h_zero, r_zero)
-        out = self.select(same, dbl, out)
-        opp = jnp.logical_and(h_zero, jnp.logical_not(r_zero))
-        opp = jnp.logical_and(opp, jnp.logical_not(jnp.logical_or(p_inf, q_inf)))
-        inf = self.identity(_batch_shape(Z1, o))
-        out = self.select(opp, inf, out)
-        out = self.select(p_inf, Q, out)
-        out = self.select(q_inf, P, out)
-        return out
+        t0 = o.mul(X1, X2)
+        t1 = o.mul(Y1, Y2)
+        t2 = o.mul(Z1, Z2)
+        t3 = o.mul(o.add(X1, Y1), o.add(X2, Y2))
+        t3 = o.sub(t3, o.add(t0, t1))  # X1Y2 + X2Y1
+        t4 = o.mul(o.add(Y1, Z1), o.add(Y2, Z2))
+        t4 = o.sub(t4, o.add(t1, t2))  # Y1Z2 + Y2Z1
+        X3 = o.mul(o.add(X1, Z1), o.add(X2, Z2))
+        Y3 = o.sub(X3, o.add(t0, t2))  # X1Z2 + X2Z1
+        X3 = o.add(t0, t0)
+        t0 = o.add(X3, t0)  # 3*X1X2
+        t2 = o.mul(b3, t2)
+        Z3 = o.add(t1, t2)
+        t1 = o.sub(t1, t2)
+        Y3 = o.mul(b3, Y3)
+        X3 = o.mul(t4, Y3)
+        t2 = o.mul(t3, t1)
+        X3 = o.sub(t2, X3)
+        Y3 = o.mul(Y3, t0)
+        t1 = o.mul(t1, Z3)
+        Y3 = o.add(t1, Y3)
+        t0 = o.mul(t0, t3)
+        Z3 = o.mul(Z3, t4)
+        Z3 = o.add(Z3, t0)
+        return {"x": X3, "y": Y3, "z": Z3}
+
+    def _double_impl(self, P):
+        # the complete add doubles correctly; a dedicated 6M+2S doubling is
+        # a later micro-optimization
+        return self._add_impl(P, P)
 
     def _scalar_mul_bits_impl(self, P, bits):
         """Batched double-and-add; bits (..., nbits) uint32, LSB first."""
@@ -136,7 +170,7 @@ class SWDevice:
             acc, base = carry
             bit = bits[..., i] == 1
             acc = self.select(bit, self._add_impl(acc, base), acc)
-            base = self._double_impl(base)
+            base = self._add_impl(base, base)
             return (acc, base)
 
         acc, _ = jax.lax.fori_loop(0, nbits, body, (acc, P))
@@ -153,12 +187,6 @@ class SWDevice:
 # --------------------------------------------------------------- helpers
 def _is_fq2(ops):
     return hasattr(ops, "F")
-
-
-def _dbl_n(o, x, n):
-    for _ in range(n):
-        x = o.add(x, x)
-    return x
 
 
 def _flat(arr, ops):
@@ -182,6 +210,30 @@ def _h_mul(a, b, ops):
 
         return fq2.mul(a, b, ops.p)
     return a * b % ops.p
+
+
+def _h_add(a, b, ops):
+    if _is_fq2(ops):
+        from . import fq2
+
+        return fq2.add(a, b, ops.p)
+    return (a + b) % ops.p
+
+
+def _h_sub(a, b, ops):
+    if _is_fq2(ops):
+        from . import fq2
+
+        return fq2.sub(a, b, ops.p)
+    return (a - b) % ops.p
+
+
+def _h_smul(a, k: int, ops):
+    if _is_fq2(ops):
+        from . import fq2
+
+        return fq2.scalar_mul(a, k, ops.p)
+    return a * k % ops.p
 
 
 def _h_inv(a, ops):

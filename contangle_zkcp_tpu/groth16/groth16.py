@@ -1,0 +1,355 @@
+"""Groth16 zkSNARK: setup / prove / verify.
+
+TPU-native rebuild of ark-groth16 0.3 (the reference's proving backend,
+called at /root/reference/lib/src/zk/encryption.rs:76,156-176): same
+QAP reduction (libsnark-style input-consistency rows appended to A), same
+CRS shape, same 3-pairing verification equation.
+
+Work placement (SURVEY.md §3.4 hot path):
+  * witness/matrix evaluation: host (sparse, exact ints) — native-code
+    candidate for large circuits;
+  * the six domain-size NTTs for the H quotient: device (`ops.ntt`);
+  * the four proof MSMs (A/B G1+G2/H/L): device Pippenger (`ops.msm`);
+  * CRS generation: host fixed-base window tables (one-time cost);
+  * verification: host pairing engine (3 pairings — not a throughput path).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..curves import instances as ci
+from ..curves.fq2_device import Fq2Device
+from ..curves.host import SWCurve
+from ..curves import pairing as pairing_mod
+from ..curves.weierstrass import SWDevice
+from ..fields import instances as fi
+from ..fields.bigint import LIMB_BITS
+from ..ops.msm import MSM
+from ..ops.ntt import NTT
+from ..r1cs.builder import ConstraintSystem
+
+
+# ----------------------------------------------------------------- curve ctx
+@dataclass
+class CurveCtx:
+    """All engines for one pairing-friendly curve."""
+
+    name: str
+    r: int  # scalar field
+    g1: SWCurve
+    g2_gen: tuple
+    pairing: pairing_mod.PairingEngine
+    g1_dev: SWDevice = None
+    g2_dev: SWDevice = None
+
+    def __post_init__(self):
+        if self.name == "bls12_381":
+            Fq = fi.bls12_381_fq()
+            b2 = ci.BLS12_381_G2_B
+        else:
+            Fq = fi.bn254_fq()
+            from ..curves import fq2 as f2
+
+            b2 = f2.mul((3, 0), f2.inv((9, 1), Fq.p), Fq.p)
+        self.g1_dev = SWDevice(Fq, self.g1)
+        self.g2_dev = SWDevice(Fq2Device(Fq), b=b2)
+        bits = self.r.bit_length()
+        self._msm_g1 = MSM(self.g1_dev, scalar_bits=bits, c=8)
+        self._msm_g2 = MSM(self.g2_dev, scalar_bits=bits, c=8)
+        self.Fr = fi.get_field(self.r, f"{self.name}_fr")
+
+
+_CTX = {}
+
+
+def curve_ctx(name: str = "bls12_381") -> CurveCtx:
+    if name not in _CTX:
+        if name == "bls12_381":
+            _CTX[name] = CurveCtx(
+                name,
+                fi.BLS12_381_R,
+                ci.BLS12_381_G1,
+                (ci.BLS12_381_G2_GX, ci.BLS12_381_G2_GY),
+                pairing_mod.bls12_381(),
+            )
+        elif name == "bn254":
+            _CTX[name] = CurveCtx(
+                name,
+                fi.BN254_R,
+                ci.BN254_G1,
+                (ci.BN254_G2_GX, ci.BN254_G2_GY),
+                pairing_mod.bn254(),
+            )
+        else:
+            raise ValueError(name)
+    return _CTX[name]
+
+
+# ----------------------------------------------------------------------- QAP
+class QAP:
+    """Libsnark-style R1CS -> QAP over a radix-2 domain.
+
+    Adds one input-consistency row per instance variable (A[nc+i][i] = 1)
+    so instance polynomials are linearly independent, then works over a
+    power-of-two domain of size >= nc + ni.
+    """
+
+    def __init__(self, cs: ConstraintSystem, r: int):
+        self.r = r
+        self.nc = cs.num_constraints
+        self.ni = cs.num_instance
+        self.nv = cs.num_variables
+        self.domain = _next_pow2(self.nc + self.ni)
+        A, B, C = cs.matrices_coo()
+        for i in range(self.ni):
+            A.append((self.nc + i, i, 1))
+        self.A, self.B, self.C = A, B, C
+
+    def eval_rows(self, z):
+        """(a, b, c) evaluation vectors over the padded domain (host)."""
+        r, d = self.r, self.domain
+        a = [0] * d
+        b = [0] * d
+        c = [0] * d
+        for row, col, coeff in self.A:
+            a[row] = (a[row] + coeff * z[col]) % r
+        for row, col, coeff in self.B:
+            b[row] = (b[row] + coeff * z[col]) % r
+        for row, col, coeff in self.C:
+            c[row] = (c[row] + coeff * z[col]) % r
+        return a, b, c
+
+    def eval_variable_polys(self, tau: int):
+        """u_i(tau), v_i(tau), w_i(tau) for every variable (host, setup)."""
+        r, d = self.r, self.domain
+        # Lagrange basis at tau: L_i(tau) = Z(tau) * w^i / (d * (tau - w^i))
+        w = fi.root_of_unity(r, d)
+        z_tau = (pow(tau, d, r) - 1) % r
+        u = [0] * self.nv
+        v = [0] * self.nv
+        wv = [0] * self.nv
+        lag = [0] * d
+        wi = 1
+        dinv = pow(d, -1, r)
+        for i in range(d):
+            lag[i] = z_tau * wi % r * pow((tau - wi) % r, -1, r) % r * dinv % r
+            wi = wi * w % r
+        for row, col, coeff in self.A:
+            u[col] = (u[col] + coeff * lag[row]) % r
+        for row, col, coeff in self.B:
+            v[col] = (v[col] + coeff * lag[row]) % r
+        for row, col, coeff in self.C:
+            wv[col] = (wv[col] + coeff * lag[row]) % r
+        return u, v, wv
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(1, (n - 1).bit_length())
+
+
+# ---------------------------------------------------------------------- keys
+@dataclass
+class VerifyingKey:
+    alpha_g1: tuple
+    beta_g2: tuple
+    gamma_g2: tuple
+    delta_g2: tuple
+    gamma_abc_g1: list
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    beta_g1: tuple
+    delta_g1: tuple
+    a_query: list
+    b_g1_query: list
+    b_g2_query: list
+    h_query: list
+    l_query: list
+    domain: int = 0
+
+
+@dataclass
+class Proof:
+    a: tuple
+    b: tuple
+    c: tuple
+
+
+# ------------------------------------------------------------ fixed-base mul
+class FixedBaseTable:
+    """Host windowed fixed-base scalar multiplication (CRS generation)."""
+
+    def __init__(self, add_fn, base, bits: int, c: int = 8):
+        self.add = add_fn
+        self.c = c
+        self.K = -(-bits // c)
+        self.table = []
+        cur = base
+        for _ in range(self.K):
+            row = [None] * (1 << c)
+            acc = None
+            for wdx in range(1, 1 << c):
+                acc = self.add(acc, cur)
+                row[wdx] = acc
+            self.table.append(row)
+            # advance cur by 2^c: double c times via repeated add
+            for _ in range(c):
+                cur = self.add(cur, cur)
+
+    def mul(self, k: int):
+        acc = None
+        mask = (1 << self.c) - 1
+        for j in range(self.K):
+            d = (k >> (j * self.c)) & mask
+            if d:
+                acc = self.add(acc, self.table[j][d])
+        return acc
+
+
+# -------------------------------------------------------------------- Groth16
+class Groth16:
+    def __init__(self, curve: str = "bls12_381"):
+        self.ctx = curve_ctx(curve)
+
+    # ------------------------------------------------------------- setup
+    def setup(self, cs: ConstraintSystem, rng: random.Random):
+        ctx = self.ctx
+        r = ctx.r
+        qap = QAP(cs, r)
+        alpha, beta, gamma, delta, tau = (rng.randrange(1, r) for _ in range(5))
+        u, v, w = qap.eval_variable_polys(tau)
+        ginv = pow(gamma, -1, r)
+        dinv = pow(delta, -1, r)
+
+        g1_tab = FixedBaseTable(ctx.g1.add, ctx.g1.generator, r.bit_length())
+        g2_tab = FixedBaseTable(ctx.g2_dev.host_add, ctx.g2_gen, r.bit_length())
+
+        ni, nv = qap.ni, qap.nv
+        gamma_abc = [
+            g1_tab.mul((beta * u[i] + alpha * v[i] + w[i]) % r * ginv % r)
+            for i in range(ni)
+        ]
+        l_query = [
+            g1_tab.mul((beta * u[i] + alpha * v[i] + w[i]) % r * dinv % r)
+            for i in range(ni, nv)
+        ]
+        a_query = [g1_tab.mul(u[i]) for i in range(nv)]
+        b_g1_query = [g1_tab.mul(v[i]) for i in range(nv)]
+        b_g2_query = [g2_tab.mul(v[i]) for i in range(nv)]
+        d = qap.domain
+        z_tau = (pow(tau, d, r) - 1) % r
+        h_query = []
+        t = z_tau * dinv % r
+        for j in range(d - 1):
+            h_query.append(g1_tab.mul(t))
+            t = t * tau % r
+        vk = VerifyingKey(
+            alpha_g1=g1_tab.mul(alpha),
+            beta_g2=g2_tab.mul(beta),
+            gamma_g2=g2_tab.mul(gamma),
+            delta_g2=g2_tab.mul(delta),
+            gamma_abc_g1=gamma_abc,
+        )
+        pk = ProvingKey(
+            vk=vk,
+            beta_g1=g1_tab.mul(beta),
+            delta_g1=g1_tab.mul(delta),
+            a_query=a_query,
+            b_g1_query=b_g1_query,
+            b_g2_query=b_g2_query,
+            h_query=h_query,
+            l_query=l_query,
+            domain=d,
+        )
+        return pk, vk
+
+    # ------------------------------------------------------------- prove
+    def prove(self, pk: ProvingKey, cs: ConstraintSystem, rng: random.Random):
+        ctx = self.ctx
+        r = ctx.r
+        Fr = ctx.Fr
+        qap = QAP(cs, r)
+        z = cs.full_assignment()
+        rr, ss = rng.randrange(r), rng.randrange(r)
+
+        # ---- H coefficients via device NTTs over the coset
+        d = qap.domain
+        ntt = _ntt_engine(Fr, d)
+        a_ev, b_ev, c_ev = qap.eval_rows(z)
+        g = fi.FIELD_GENERATORS[r]
+        pa = ntt.inverse(_enc(Fr, a_ev))
+        pb = ntt.inverse(_enc(Fr, b_ev))
+        pc = ntt.inverse(_enc(Fr, c_ev))
+        ea = ntt.coset_forward(pa, g)
+        eb = ntt.coset_forward(pb, g)
+        ec = ntt.coset_forward(pc, g)
+        ab = Fr.mul(ea, eb)
+        num = Fr.sub(ab, ec)
+        zinv = pow((pow(g, d, r) - 1) % r, -1, r)  # Z const on the coset
+        hev = Fr.mul(num, Fr.broadcast_const(zinv, (d,)))
+        h = ntt.coset_inverse(hev, g)
+        h_ints = Fr.decode(h)[: d - 1]
+
+        # ---- MSMs on device
+        msm1 = ctx._msm_g1
+        msm2 = ctx._msm_g2
+        g1 = ctx.g1
+        a_acc = msm1.run(pk.a_query, z)
+        b2_acc = msm2.run(pk.b_g2_query, z)
+        b1_acc = msm1.run(pk.b_g1_query, z)
+        l_acc = msm1.run(pk.l_query, z[qap.ni :]) if pk.l_query else None
+        h_acc = msm1.run(pk.h_query, h_ints) if pk.h_query else None
+
+        # ---- assemble (host point algebra)
+        A = g1.add(g1.add(self._vk_alpha(pk), a_acc), g1.mul(rr, pk.delta_g1))
+        g2add = ctx.g2_dev.host_add
+        B = g2add(g2add(pk.vk.beta_g2, b2_acc), ctx.g2_dev.host_mul(ss, pk.vk.delta_g2))
+        B1 = g1.add(g1.add(pk.beta_g1, b1_acc), g1.mul(ss, pk.delta_g1))
+        C = g1.add(l_acc, h_acc)
+        C = g1.add(C, g1.mul(ss, A))
+        C = g1.add(C, g1.mul(rr, B1))
+        C = g1.add(C, g1.neg(g1.mul(rr * ss % r, pk.delta_g1)))
+        return Proof(a=A, b=B, c=C)
+
+    def _vk_alpha(self, pk):
+        return pk.vk.alpha_g1
+
+    # ------------------------------------------------------------ verify
+    def verify(self, vk: VerifyingKey, public_inputs, proof: Proof) -> bool:
+        """e(A,B) == e(alpha,beta) * e(acc,gamma) * e(C,delta)."""
+        ctx = self.ctx
+        g1 = ctx.g1
+        assert len(public_inputs) == len(vk.gamma_abc_g1) - 1, "input length"
+        acc = vk.gamma_abc_g1[0]
+        for x, base in zip(public_inputs, vk.gamma_abc_g1[1:]):
+            acc = g1.add(acc, g1.mul(x % ctx.r, base))
+        eng = ctx.pairing
+        lhs = eng.multi_pairing(
+            [
+                (proof.a, proof.b),
+                (g1.neg(acc), vk.gamma_g2),
+                (g1.neg(proof.c), vk.delta_g2),
+            ]
+        )
+        rhs = eng.pairing(vk.alpha_g1, vk.beta_g2)
+        return lhs == rhs
+
+
+_NTT_CACHE = {}
+
+
+def _ntt_engine(Fr, d):
+    key = (Fr.p, d)
+    if key not in _NTT_CACHE:
+        _NTT_CACHE[key] = NTT(Fr, d)
+    return _NTT_CACHE[key]
+
+
+def _enc(Fr, ints):
+    return Fr.encode(list(ints))

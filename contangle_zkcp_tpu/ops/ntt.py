@@ -1,0 +1,126 @@
+"""Radix-2 NTT / iNTT over a SNARK scalar field (device).
+
+Replaces the arkworks `ark-poly` Radix2 evaluation domain the reference's
+Groth16 prover uses for the H-quotient polynomial (SURVEY.md §3.4; called
+from every `Groth16::prove`).
+
+Design: natural-order in/out Cooley-Tukey with an up-front bit-reversal
+gather, then log2(N) fully-vectorized butterfly stages.  Each stage is one
+batched field multiply of N/2 elements plus an add/sub — shapes stay
+(N/2, L) so the VPU/MXU limb pipeline from `fields.fp` is saturated; there
+is no scalar loop anywhere.  Twiddle tables are host-precomputed per stage
+in Montgomery form and baked as device constants.
+
+The multi-chip four-step decomposition (local NTTs + all_to_all transpose
+over ICI) lives in `parallel/ntt_sharded.py`.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.fp import Fp
+from ..fields import instances as fi
+
+
+def _bit_reverse_perm(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+class NTT:
+    """NTT engine for a fixed field + domain size n (power of two)."""
+
+    def __init__(self, F: Fp, n: int):
+        assert n & (n - 1) == 0
+        self.F = F
+        self.n = n
+        self.logn = n.bit_length() - 1
+        w = fi.root_of_unity(F.p, n)
+        self.omega = w
+        self.omega_inv = pow(w, -1, F.p)
+        self.n_inv = pow(n, -1, F.p)
+        # per-stage twiddles (Montgomery), stage s has block m=2^(s+1) and
+        # uses w_m^j, j in [0, m/2)
+        self._tw_fwd = self._stage_twiddles(w)
+        self._tw_inv = self._stage_twiddles(self.omega_inv)
+        self._brev = jnp.asarray(_bit_reverse_perm(n))
+        self._n_inv_m = jnp.asarray(F.encode(self.n_inv))
+        self.forward = jax.jit(self._forward_impl)
+        self.inverse = jax.jit(self._inverse_impl)
+
+    def _stage_twiddles(self, w_root: int):
+        F, n, p = self.F, self.n, self.F.p
+        tables = []
+        for s in range(self.logn):
+            m = 1 << (s + 1)
+            wm = pow(w_root, n // m, p)
+            tw = [1] * (m // 2)
+            for j in range(1, m // 2):
+                tw[j] = tw[j - 1] * wm % p
+            tables.append(jnp.asarray(F.encode(tw)))  # (m/2, L) Mont
+        return tables
+
+    def _butterflies(self, a, tables):
+        """a: (n, L) Montgomery; applies all stages after bit-reversal."""
+        F, n = self.F, self.n
+        a = jnp.take(a, self._brev, axis=0)
+        for s in range(self.logn):
+            m = 1 << (s + 1)
+            half = m // 2
+            blk = a.reshape(n // m, 2, half, F.L)
+            u = blk[:, 0]
+            v = F._mul_impl(blk[:, 1], tables[s][None, :, :])
+            out = jnp.stack([F._add_impl(u, v), F._sub_impl(u, v)], axis=1)
+            a = out.reshape(n, F.L)
+        return a
+
+    def _forward_impl(self, a):
+        """Coefficients -> evaluations at the n-th roots (natural order)."""
+        return self._butterflies(a, self._tw_fwd)
+
+    def _inverse_impl(self, a):
+        """Evaluations -> coefficients."""
+        out = self._butterflies(a, self._tw_inv)
+        return self.F._mul_impl(out, self._n_inv_m[None, :])
+
+    # ------------------------------------------------------------ coset ops
+    @lru_cache(maxsize=4)
+    def _coset_scale(self, g: int):
+        """(g^i)_{i<n} in Montgomery form as a device constant."""
+        p = self.F.p
+        scale = [1] * self.n
+        for i in range(1, self.n):
+            scale[i] = scale[i - 1] * g % p
+        return jnp.asarray(self.F.encode(scale))
+
+    def coset_forward(self, a, g: int):
+        """Evaluate the polynomial on the coset g*<omega>."""
+        a = self.F.mul(a, self._coset_scale(g))
+        return self.forward(a)
+
+    def coset_inverse(self, a, g: int):
+        """Interpolate from evaluations on the coset g*<omega>."""
+        out = self.inverse(a)
+        return self.F.mul(out, self._coset_scale(pow(g, -1, self.F.p)))
+
+    # --------------------------------------------------------------- host
+    def h_forward(self, coeffs):
+        """Exact host reference (for tests): evaluate at w^0..w^{n-1}."""
+        p, n, w = self.F.p, self.n, self.omega
+        out = []
+        for i in range(n):
+            x = pow(w, i, p)
+            acc = 0
+            for c in reversed(coeffs):
+                acc = (acc * x + c) % p
+            out.append(acc)
+        return out

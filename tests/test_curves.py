@@ -103,7 +103,7 @@ def test_sw_device_scalar_mul_g1():
 def test_sw_device_g2():
     p = fi.BLS12_381_P
     F2 = Fq2Device(fi.bls12_381_fq())
-    dev = SWDevice(F2)
+    dev = SWDevice(F2, b=ci.BLS12_381_G2_B)
     gen = (ci.BLS12_381_G2_GX, ci.BLS12_381_G2_GY)
     # generator satisfies y^2 = x^3 + 4(u+1)
     lhs = fq2.square(gen[1], p)

@@ -1,0 +1,105 @@
+"""NTT and MSM kernel correctness vs exact host computation."""
+
+import random
+
+import numpy as np
+import pytest
+
+from contangle_zkcp_tpu.curves import instances as ci
+from contangle_zkcp_tpu.curves.fq2_device import Fq2Device
+from contangle_zkcp_tpu.curves.weierstrass import SWDevice
+from contangle_zkcp_tpu.fields import instances as fi
+from contangle_zkcp_tpu.ops.msm import MSM, msm_host
+from contangle_zkcp_tpu.ops.ntt import NTT
+
+
+def test_ntt_roundtrip_and_values():
+    F = fi.bls12_381_fr()
+    n = 32
+    eng = NTT(F, n)
+    rng = random.Random(21)
+    coeffs = [rng.randrange(F.p) for _ in range(n)]
+    a = F.encode(coeffs)
+    ev = eng.forward(a)
+    # values match exact host evaluation
+    assert F.decode(ev) == eng.h_forward(coeffs)
+    # inverse returns the coefficients
+    back = eng.inverse(ev)
+    assert F.decode(back) == coeffs
+
+
+def test_ntt_coset_roundtrip():
+    F = fi.bls12_381_fr()
+    n = 16
+    eng = NTT(F, n)
+    rng = random.Random(22)
+    coeffs = [rng.randrange(F.p) for _ in range(n)]
+    g = fi.FIELD_GENERATORS[F.p]
+    a = F.encode(coeffs)
+    ev = eng.coset_forward(a, g)
+    # coset evaluation at g*w^i
+    p = F.p
+    exp = []
+    for i in range(n):
+        x = g * pow(eng.omega, i, p) % p
+        acc = 0
+        for c in reversed(coeffs):
+            acc = (acc * x + c) % p
+        exp.append(acc)
+    assert F.decode(ev) == exp
+    back = eng.coset_inverse(ev, g)
+    assert F.decode(back) == coeffs
+
+
+def test_ntt_other_fields():
+    for F in [fi.bn254_fr(), fi.pasta_fp()]:
+        eng = NTT(F, 8)
+        coeffs = list(range(1, 9))
+        ev = eng.forward(F.encode(coeffs))
+        assert F.decode(ev) == eng.h_forward(coeffs)
+
+
+@pytest.mark.parametrize("c", [4, 8])
+def test_msm_g1(c):
+    C = ci.BLS12_381_G1
+    F = fi.bls12_381_fq()
+    dev = SWDevice(F, C)
+    rng = random.Random(23)
+    n = 64
+    pts = [C.mul(rng.randrange(1, C.order), C.generator) for _ in range(n)]
+    scalars = [rng.randrange(C.order) for _ in range(n)]
+    # include edge scalars
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[2] = C.order - 1
+    m = MSM(dev, scalar_bits=255, c=c)
+    got = m.run(pts, scalars)
+    exp = msm_host(C, pts, scalars)
+    assert got == exp
+
+
+def test_msm_with_duplicate_points_and_zero():
+    C = ci.BLS12_381_G1
+    F = fi.bls12_381_fq()
+    dev = SWDevice(F, C)
+    pts = [C.generator] * 8  # forces equal-point additions in buckets
+    scalars = [5, 5, 5, 7, 0, 0, 1, C.order - 2]
+    m = MSM(dev, scalar_bits=255, c=4)
+    got = m.run(pts, scalars)
+    exp = msm_host(C, pts, scalars)
+    assert got == exp
+
+
+def test_msm_g2():
+    F2 = Fq2Device(fi.bls12_381_fq())
+    dev = SWDevice(F2, b=ci.BLS12_381_G2_B)
+    gen = (ci.BLS12_381_G2_GX, ci.BLS12_381_G2_GY)
+    rng = random.Random(24)
+    base = [dev.host_mul(rng.randrange(1, fi.BLS12_381_R), gen) for _ in range(6)]
+    scalars = [rng.randrange(fi.BLS12_381_R) for _ in range(6)]
+    m = MSM(dev, scalar_bits=255, c=4)
+    got = m.run(base, scalars)
+    exp = None
+    for P, s in zip(base, scalars):
+        exp = dev.host_add(exp, dev.host_mul(s, P))
+    assert got == exp

@@ -1,0 +1,48 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh."""
+
+import random
+
+import jax
+import pytest
+
+from contangle_zkcp_tpu.curves import instances as ci
+from contangle_zkcp_tpu.curves.weierstrass import SWDevice
+from contangle_zkcp_tpu.fields import instances as fi
+from contangle_zkcp_tpu.ops.msm import MSM, msm_host
+from contangle_zkcp_tpu.ops.ntt import NTT
+from contangle_zkcp_tpu.parallel import ShardedMSM, ShardedNTT, make_mesh
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_ntt_matches_single_chip():
+    F = fi.bls12_381_fr()
+    n = 64
+    eng = NTT(F, n)
+    mesh = make_mesh(8)
+    sh = ShardedNTT(eng, mesh)
+    rng = random.Random(71)
+    coeffs = [rng.randrange(F.p) for _ in range(n)]
+    a = F.encode(coeffs)
+    ev_single = F.decode(eng.forward(a))
+    ev_sharded = F.decode(sh.forward(sh.shard(a)))
+    assert ev_single == ev_sharded
+    back = F.decode(sh.inverse(sh.shard(F.encode(ev_sharded))))
+    assert back == coeffs
+
+
+def test_sharded_msm_matches_host():
+    C = ci.BLS12_381_G1
+    F = fi.bls12_381_fq()
+    dev = SWDevice(F, C)
+    rng = random.Random(72)
+    n = 64  # 8 per device
+    pts = [C.mul(rng.randrange(1, C.order), C.generator) for _ in range(n)]
+    scalars = [rng.randrange(C.order) for _ in range(n)]
+    msm = MSM(dev, scalar_bits=255, c=4)
+    mesh = make_mesh(8)
+    smsm = ShardedMSM(msm, mesh)
+    got = smsm.run(pts, scalars)
+    assert got == msm_host(C, pts, scalars)
