@@ -1,0 +1,183 @@
+"""CircomWrapper: embed a parsed circom circuit into our constraint system.
+
+Mirror of the reference's ark-circom-based wrapper
+(/root/reference/circuits-ark/src/circom_wrapper.rs:35-115) and the
+builder API of the missing fork (CircomBuilder push_variable/push_input,
+SURVEY.md §2.1 #13):
+
+  * wires map to our variables: wire 0 -> ONE, public wires -> instance,
+    the rest -> witness;
+  * named signal assignment through the wire map ("push_variable" for
+    witness-known signals, "push_input" for protocol arguments);
+  * the circom constraints (A*B = C normal form) are enforced as-is
+    ("verify_linear_combinations");
+  * NOTE (preserved reference behavior): the committed CircomWrapper does
+    NOT link the circom plaintext signals to the encryption circuit — the
+    linking code is commented out at circom_wrapper.rs:106-112, so the
+    composed statement only enforces the circom constraints next to the
+    encryption constraints.
+
+Witness generation: circuits whose wires are fully determined by the
+pushed signals (e.g. DummyProperty) need no wasm execution.  For circuits
+with intermediate wires (zkPhoto), a linear constraint-propagation solver
+runs; anything it cannot determine raises — running the circuit's .wasm
+witness generator requires a wasm runtime this image does not provide
+(the reference needs its private patched ark-circom here too).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..r1cs.builder import LC, ConstraintSystem
+from ..r1cs.gadgets import Gadgets
+from ..utils.errors import ProofError
+from .r1cs_format import R1csFile
+
+
+@dataclass
+class CircomConfig:
+    r1cs: R1csFile
+    signal_map: dict  # name -> wire id or (start, len)
+    sanity_check: bool = False
+
+
+class CircomBuilder:
+    def __init__(self, cfg: CircomConfig):
+        self.cfg = cfg
+        self.assignments = {0: 1}  # wire -> value
+
+    def push_variable(self, name: str, values):
+        """Assign a (vector) signal from known witness data."""
+        self._assign(name, values)
+
+    def push_input(self, name: str, value):
+        """Assign a protocol argument signal."""
+        self._assign(name, value)
+
+    def _assign(self, name, values):
+        loc = self.cfg.signal_map[name]
+        prime = self.cfg.r1cs.prime
+        if isinstance(loc, tuple):
+            start, length = loc
+            vals = list(values)
+            if len(vals) > length:
+                raise ProofError(f"too many values for signal {name}")
+            for i in range(length):
+                self.assignments[start + i] = (
+                    vals[i] % prime if i < len(vals) else 0
+                )
+        else:
+            self.assignments[loc] = int(values) % prime
+
+    def solve_witness(self):
+        """Fill remaining wires by propagating solvable constraints."""
+        r1 = self.cfg.r1cs
+        prime = r1.prime
+        wires = dict(self.assignments)
+        pending = list(r1.constraints)
+        progress = True
+        while progress and pending:
+            progress = False
+            rest = []
+            for (a, b, c) in pending:
+                solved = self._try_solve(a, b, c, wires, prime)
+                if solved:
+                    progress = True
+                else:
+                    rest.append((a, b, c))
+            pending = rest
+        missing = [w for w in range(r1.n_wires) if w not in wires]
+        if missing:
+            raise ProofError(
+                f"cannot determine wires {missing[:5]}... without the circom "
+                "wasm witness generator (unavailable in this environment)"
+            )
+        if self.cfg.sanity_check:
+            for a, b, c in r1.constraints:
+                av = sum(co * wires[w] for w, co in a.items()) % prime
+                bv = sum(co * wires[w] for w, co in b.items()) % prime
+                cv = sum(co * wires[w] for w, co in c.items()) % prime
+                if av * bv % prime != cv:
+                    raise ProofError("circom constraint unsatisfied")
+        return [wires[w] for w in range(r1.n_wires)]
+
+    @staticmethod
+    def _try_solve(a, b, c, wires, prime):
+        """Solve constraints with exactly one unknown appearing linearly."""
+
+        def ev(terms):
+            tot, unknown = 0, None
+            for w, co in terms.items():
+                if w in wires:
+                    tot = (tot + co * wires[w]) % prime
+                elif unknown is None:
+                    unknown = (w, co)
+                else:
+                    return None, "many"
+            return tot, unknown
+
+        av, au = ev(a)
+        bv, bu = ev(b)
+        cv, cu = ev(c)
+        if "many" in (au, bu, cu):
+            return False
+        unknowns = [u for u in (au, bu, cu) if u is not None]
+        if not unknowns:
+            return True  # fully determined; nothing to solve
+        if len(unknowns) > 1:
+            return False
+        w, co = unknowns[0]
+        if cu is not None:
+            # a*b = cv + co*w  ->  w = (a*b - cv)/co
+            val = (av * bv - cv) % prime * pow(co, -1, prime) % prime
+        elif au is not None:
+            if bv == 0:
+                return False
+            # (av + co*w)*bv = cv
+            val = (cv * pow(bv, -1, prime) - av) % prime * pow(co, -1, prime) % prime
+        else:
+            if av == 0:
+                return False
+            val = (cv * pow(av, -1, prime) - bv) % prime * pow(co, -1, prime) % prime
+        wires[w] = val
+        return True
+
+
+class CircomCircuit:
+    """Embeds the circom constraints into a ConstraintSystem."""
+
+    def __init__(self, cfg: CircomConfig, witness):
+        self.cfg = cfg
+        self.witness = witness  # full wire assignment
+
+    def allocate(self, cs: ConstraintSystem):
+        """Allocate wires as variables; returns wire -> LC map."""
+        r1 = self.cfg.r1cs
+        var = {0: cs.constant(1)}
+        n_pub = r1.n_public
+        for w in range(1, r1.n_wires):
+            if w <= n_pub:
+                var[w] = cs.lc(cs.new_input(self.witness[w]))
+            else:
+                var[w] = cs.lc(cs.new_witness(self.witness[w]))
+        return var
+
+    def enforce(self, cs: ConstraintSystem, var):
+        """verify_linear_combinations: emit A*B = C for every constraint."""
+        g = Gadgets(cs)
+        for a, b, c in self.cfg.r1cs.constraints:
+            a_lc = _combine(cs, var, a)
+            b_lc = _combine(cs, var, b)
+            c_lc = _combine(cs, var, c)
+            cs.enforce(a_lc, b_lc, c_lc)
+
+    def public_inputs(self):
+        return [self.witness[w] for w in range(1, self.cfg.r1cs.n_public + 1)]
+
+
+def _combine(cs: ConstraintSystem, var, terms) -> LC:
+    out = cs.constant(0)
+    for w, co in terms.items():
+        out = out + var[w] * co
+    return out
