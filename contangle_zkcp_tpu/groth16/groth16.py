@@ -110,8 +110,20 @@ class QAP:
         self.A, self.B, self.C = A, B, C
 
     def eval_rows(self, z):
-        """(a, b, c) evaluation vectors over the padded domain (host)."""
+        """(a, b, c) evaluation vectors over the padded domain.
+
+        Uses the native C++ engine (r1cs/native.py) when built — the
+        host-side serial hot loop for large circuits — with an exact
+        pure-Python fallback."""
+        from ..r1cs import native
+
         r, d = self.r, self.domain
+        if native.available() and r.bit_length() <= 256:
+            a = native.eval_rows(r, self.A, z, d)
+            b = native.eval_rows(r, self.B, z, d)
+            c = native.eval_rows(r, self.C, z, d)
+            if a is not None and b is not None and c is not None:
+                return a, b, c
         a = [0] * d
         b = [0] * d
         c = [0] * d

@@ -1,0 +1,147 @@
+"""Inner-product-argument polynomial commitment over the Pasta curves.
+
+The halo2 pipeline's commitment scheme (halo2_proofs 0.2 uses IPA over
+Pasta; SURVEY.md §2.2): polynomials over the Pallas base field are
+committed on the Vesta curve (whose scalar field is that same field).
+Bulletproofs-style log-round opening argument with Fiat-Shamir challenges.
+
+Commitment MSMs ride the TPU Pippenger engine for large degrees; the
+log-n folding tail is host-side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from ..curves import instances as ci
+from ..curves.host import SWCurve, sqrt_mod
+from ..fields import instances as fi
+from ..ops.msm import msm_host
+
+CURVE = ci.VESTA  # commitments live on Vesta; scalars in PASTA_P
+SCALAR_P = fi.PASTA_P
+
+
+def _hash_to_point(tag: bytes, i: int):
+    """Deterministic generator derivation (try-and-increment)."""
+    ctr = 0
+    while True:
+        h = hashlib.sha256(tag + i.to_bytes(4, "little") + ctr.to_bytes(4, "little")).digest()
+        x = int.from_bytes(h, "big") % CURVE.p
+        y2 = (x * x * x + CURVE.b) % CURVE.p
+        y = sqrt_mod(y2, CURVE.p)
+        if y is not None:
+            return (x, y if y % 2 == 0 else CURVE.p - y)
+        ctr += 1
+
+
+@dataclass
+class IpaProof:
+    rounds: list  # [(L, R)] points
+    a_final: int
+
+
+class IPA:
+    def __init__(self, n: int, use_device_msm: bool = False):
+        assert n & (n - 1) == 0
+        self.n = n
+        self.G = [_hash_to_point(b"contangle-ipa-g", i) for i in range(n)]
+        self.U = _hash_to_point(b"contangle-ipa-u", 0)
+        self._msm = None
+        if use_device_msm:
+            from ..curves.weierstrass import SWDevice
+            from ..ops.msm import MSM
+
+            dev = SWDevice(fi.pasta_fq(), CURVE)
+            self._msm = MSM(dev, scalar_bits=SCALAR_P.bit_length(), c=8)
+
+    # ------------------------------------------------------------ commit
+    def _msm_run(self, points, scalars):
+        scalars = [s % SCALAR_P for s in scalars]
+        if self._msm is not None and len(points) >= 256:
+            return self._msm.run(list(points), scalars)
+        return msm_host(CURVE, points, scalars)
+
+    def commit(self, coeffs):
+        assert len(coeffs) <= self.n
+        coeffs = list(coeffs) + [0] * (self.n - len(coeffs))
+        return self._msm_run(self.G, coeffs)
+
+    # -------------------------------------------------------------- open
+    @staticmethod
+    def _challenge(transcript: bytes) -> int:
+        return int.from_bytes(hashlib.sha256(transcript).digest(), "big") % SCALAR_P
+
+    @staticmethod
+    def _pt_bytes(P) -> bytes:
+        if P is None:
+            return b"\x00" * 33
+        return bytes([2 + (P[1] & 1)]) + P[0].to_bytes(32, "big")
+
+    def open(self, coeffs, x: int):
+        """Prove p(x) = v for the committed coefficients."""
+        p = SCALAR_P
+        a = list(coeffs) + [0] * (self.n - len(coeffs))
+        b = [pow(x, i, p) for i in range(self.n)]
+        G = list(self.G)
+        transcript = self._pt_bytes(self.commit(coeffs)) + x.to_bytes(32, "big")
+        rounds = []
+        while len(a) > 1:
+            h = len(a) // 2
+            a_lo, a_hi = a[:h], a[h:]
+            b_lo, b_hi = b[:h], b[h:]
+            G_lo, G_hi = G[:h], G[h:]
+            vL = sum(ai * bi for ai, bi in zip(a_lo, b_hi)) % p
+            vR = sum(ai * bi for ai, bi in zip(a_hi, b_lo)) % p
+            L = CURVE.add(self._msm_run(G_hi, a_lo), CURVE.mul(vL, self.U))
+            R = CURVE.add(self._msm_run(G_lo, a_hi), CURVE.mul(vR, self.U))
+            transcript = hashlib.sha256(
+                transcript + self._pt_bytes(L) + self._pt_bytes(R)
+            ).digest()
+            u = self._challenge(transcript)
+            ui = pow(u, -1, p)
+            a = [(lo * u + hi * ui) % p for lo, hi in zip(a_lo, a_hi)]
+            b = [(lo * ui + hi * u) % p for lo, hi in zip(b_lo, b_hi)]
+            G = [
+                CURVE.add(CURVE.mul(ui, gl), CURVE.mul(u, gh))
+                for gl, gh in zip(G_lo, G_hi)
+            ]
+            rounds.append((L, R))
+        return IpaProof(rounds=rounds, a_final=a[0])
+
+    # ------------------------------------------------------------ verify
+    def verify(self, commitment, x: int, v: int, proof: IpaProof) -> bool:
+        p = SCALAR_P
+        P = CURVE.add(commitment, CURVE.mul(v % p, self.U))
+        transcript = self._pt_bytes(commitment) + x.to_bytes(32, "big")
+        us = []
+        for L, R in proof.rounds:
+            transcript = hashlib.sha256(
+                transcript + self._pt_bytes(L) + self._pt_bytes(R)
+            ).digest()
+            u = self._challenge(transcript)
+            us.append(u)
+            P = CURVE.add(
+                P,
+                CURVE.add(
+                    CURVE.mul(u * u % p, L), CURVE.mul(pow(u, -2, p), R)
+                ),
+            )
+        # fold the generator/point vectors with the s-vector
+        k = len(us)
+        assert (1 << k) == self.n
+        s = []
+        for i in range(self.n):
+            acc = 1
+            for j in range(k):
+                bit = (i >> (k - 1 - j)) & 1
+                acc = acc * (us[j] if bit else pow(us[j], -1, p)) % p
+            s.append(acc)
+        G_final = self._msm_run(self.G, s)
+        b_final = sum(si * pow(x, i, p) for i, si in enumerate(s)) % p
+        rhs = CURVE.add(
+            CURVE.mul(proof.a_final, G_final),
+            CURVE.mul(proof.a_final * b_final % p, self.U),
+        )
+        return P == rhs

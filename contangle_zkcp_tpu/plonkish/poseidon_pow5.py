@@ -1,0 +1,127 @@
+"""Poseidon for the halo2 pipeline: x^5 s-box, width 3, rate 2,
+8 full + 56 partial rounds over the Pallas base field (the P128Pow5T3
+instance shape used by the reference's ElGamalChip,
+/root/reference/circuits-halo2/src/encryption.rs:83-161).
+
+Constants are generated with the Grain-LFSR procedure from the Poseidon
+reference implementation (generate_parameters_grain.sage): 80-bit LFSR
+seeded with (field=prime, sbox=x^alpha, n, t, R_F, R_P), 160 warm-up
+bits, von-Neumann-filtered output bits; round constants by rejection
+sampling, MDS as a Cauchy matrix over fresh samples.
+
+NOTE: exact byte-equality with halo2_gadgets' hard-coded P128Pow5T3
+tables has no in-repo cross-check (the reference exercises this path only
+through MockProver, SURVEY.md §3.5); host and in-circuit implementations
+here are generated from one shared procedure and tested for consistency.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from ..fields import instances as fi
+
+T = 3
+RATE = 2
+ALPHA = 5
+R_F = 8
+R_P = 56
+
+
+class Grain:
+    def __init__(self, p: int, t: int = T, r_f: int = R_F, r_p: int = R_P):
+        self.p = p
+        self.n = p.bit_length()
+        bits = []
+
+        def push(value, width):
+            for i in range(width - 1, -1, -1):
+                bits.append((value >> i) & 1)
+
+        push(1, 2)       # field: prime
+        push(0, 4)       # sbox: x^alpha
+        push(self.n, 12)
+        push(t, 12)
+        push(r_f, 10)
+        push(r_p, 10)
+        bits.extend([1] * 30)
+        assert len(bits) == 80
+        self.state = bits
+        for _ in range(160):
+            self._next_raw()
+
+    def _next_raw(self) -> int:
+        s = self.state
+        new = s[62] ^ s[51] ^ s[38] ^ s[23] ^ s[13] ^ s[0]
+        self.state = s[1:] + [new]
+        return new
+
+    def next_bit(self) -> int:
+        # von Neumann-style filtering: emit the 2nd bit of a pair only when
+        # the 1st is set
+        while True:
+            b1 = self._next_raw()
+            b2 = self._next_raw()
+            if b1:
+                return b2
+
+    def next_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.next_bit()
+        return v
+
+    def next_field_element(self) -> int:
+        while True:
+            v = self.next_bits(self.n)
+            if v < self.p:
+                return v
+
+
+@lru_cache(maxsize=None)
+def pow5_constants(p: int):
+    """(round_constants [(R_F+R_P) x T], mds [T x T])."""
+    g = Grain(p)
+    rc = [[g.next_field_element() for _ in range(T)] for _ in range(R_F + R_P)]
+    # Cauchy MDS: M[i][j] = 1/(x_i + y_j) with distinct samples
+    while True:
+        xs = [g.next_field_element() for _ in range(T)]
+        ys = [g.next_field_element() for _ in range(T)]
+        if len({*xs}) == T and len({*ys}) == T and all(
+            (x + y) % p != 0 for x in xs for y in ys
+        ):
+            break
+    mds = [[pow((xs[i] + ys[j]) % p, -1, p) for j in range(T)] for i in range(T)]
+    return rc, mds
+
+
+class PoseidonPow5Host:
+    """Exact host permutation + the halo2 `ConstantLength<2>` hash."""
+
+    def __init__(self, p: int = None):
+        self.p = p or fi.PASTA_P
+        self.rc, self.mds = pow5_constants(self.p)
+
+    def permute(self, state):
+        p = self.p
+        s = list(state)
+        half = R_F // 2
+        for r in range(R_F + R_P):
+            s = [(x + self.rc[r][i]) % p for i, x in enumerate(s)]
+            full = r < half or r >= half + R_P
+            if full:
+                s = [pow(x, ALPHA, p) for x in s]
+            else:
+                s[0] = pow(s[0], ALPHA, p)
+            s = [
+                sum(self.mds[i][j] * s[j] for j in range(T)) % p for i in range(T)
+            ]
+        return s
+
+    def hash2(self, a: int, b: int) -> int:
+        """halo2 Hash<ConstantLength<2>>: initial capacity element encodes
+        the domain (ConstantLength: capacity = 2^64 * ... simplified to the
+        length tag), absorb [a, b], squeeze 1."""
+        cap = (2 << 64) % self.p  # length-2 domain tag, halo2-style
+        state = [a % self.p, b % self.p, cap]
+        return self.permute(state)[0]
