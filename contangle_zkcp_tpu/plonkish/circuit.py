@@ -60,20 +60,46 @@ class Expr:
     def __neg__(self):
         return Expr(("neg", self))
 
-    def eval(self, row: int, tables, p: int) -> int:
+    def eval(self, row: int, tables, p: int, rot_scale: int = 1) -> int:
+        """Evaluate at one row; `rot_scale` maps a 1-row rotation to a
+        stride on an extended evaluation domain (prover quotient path)."""
         k = self.node[0]
         if k == "col":
             c = self.node[1]
             col = tables[c.kind][c.index]
-            return col[(row + c.rotation) % len(col)]
+            return col[(row + c.rotation * rot_scale) % len(col)]
         if k == "const":
             return self.node[1] % p
         if k == "add":
-            return (self.node[1].eval(row, tables, p) + self.node[2].eval(row, tables, p)) % p
+            return (
+                self.node[1].eval(row, tables, p, rot_scale)
+                + self.node[2].eval(row, tables, p, rot_scale)
+            ) % p
         if k == "mul":
-            return (self.node[1].eval(row, tables, p) * self.node[2].eval(row, tables, p)) % p
+            return (
+                self.node[1].eval(row, tables, p, rot_scale)
+                * self.node[2].eval(row, tables, p, rot_scale)
+            ) % p
         if k == "neg":
-            return (-self.node[1].eval(row, tables, p)) % p
+            return (-self.node[1].eval(row, tables, p, rot_scale)) % p
+        raise ValueError(k)
+
+    def eval_vec(self, tables, p: int, n: int, rot_scale: int = 1):
+        """Evaluate on all rows of tables (lists of length n)."""
+        return [self.eval(i, tables, p, rot_scale) for i in range(n)]
+
+    def max_degree(self) -> int:
+        k = self.node[0]
+        if k == "col":
+            return 1
+        if k == "const":
+            return 0
+        if k == "add":
+            return max(self.node[1].max_degree(), self.node[2].max_degree())
+        if k == "mul":
+            return self.node[1].max_degree() + self.node[2].max_degree()
+        if k == "neg":
+            return self.node[1].max_degree()
         raise ValueError(k)
 
 
