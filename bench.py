@@ -27,8 +27,11 @@ def main():
     from contangle_zkcp_tpu.fields import instances as fi
     from contangle_zkcp_tpu.ops.msm import MSM, digits_from_limbs
 
-    log2n = int(os.environ.get("BENCH_MSM_LOG2", "16"))
-    c = int(os.environ.get("BENCH_MSM_C", "10"))
+    # defaults chosen to stay under the axon relay's apparent execution
+    # watchdog (long single executions have crashed the remote worker;
+    # see memory/axon-tpu-environment)
+    log2n = int(os.environ.get("BENCH_MSM_LOG2", "15"))
+    c = int(os.environ.get("BENCH_MSM_C", "8"))
     n = 1 << log2n
 
     Fq = fi.bls12_381_fq()
@@ -54,27 +57,25 @@ def main():
     digits = digits_from_limbs(scalars, msm.c, msm.K)
 
     def chained(points, digits, iters):
-        # serialize iterations through a device-side data dependency so a
-        # single host fetch at the end forces all of them (the remote relay
-        # does not honor block_until_ready reliably)
+        # serialize iterations through a REAL device-side data dependency (a
+        # runtime-opaque low bit of the previous output xor'd into the
+        # digits) so XLA cannot CSE the iterations into one, and a single
+        # host fetch at the end forces the whole chain (the remote relay
+        # does not honor block_until_ready reliably).
         dep = jnp.uint32(0)
         for _ in range(iters):
-            out = msm._bucket_phase_impl(points, {"d": digits ^ dep}["d"])
-            dep = out["x"].reshape(-1)[0] & jnp.uint32(0)
+            out = msm._bucket_phase_impl(points, digits ^ dep)
+            dep = out["x"].reshape(-1)[0] & jnp.uint32(1)
         return out
 
     iters = int(os.environ.get("BENCH_MSM_ITERS", "2"))
     run = jax.jit(chained, static_argnums=2)
-    _ = jax.device_get(run(points, digits, 1)["x"][0, 0])  # warm + compile
-    _ = jax.device_get(run(points, digits, 1 + iters)["x"][0, 0])
-    t_fetch0 = time.time()
-    base = jax.device_get(run(points, digits, 1)["x"][0, 0])
-    t1 = time.time() - t_fetch0
+    _ = jax.device_get(run(points, digits, iters)["x"][0, 0])  # warm + compile
     t0 = time.time()
-    _ = jax.device_get(run(points, digits, 1 + iters)["x"][0, 0])
-    t2 = time.time() - t0
-    # per-iteration compute with fetch/dispatch overhead differenced out
-    dt = max((t2 - t1) / iters, 1e-9)
+    _ = jax.device_get(run(points, digits, iters)["x"][0, 0])
+    dt = (time.time() - t0) / iters
+    # amortized over `iters` device-chained MSMs with a single host fetch:
+    # the relay's dispatch/fetch overhead shrinks to 1/iters of the figure.
     pts_per_sec = n / dt
 
     # SOL estimate for this chip (documented in benchmarks/SOL.md):

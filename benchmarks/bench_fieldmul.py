@@ -1,0 +1,64 @@
+"""Field-multiply throughput: Pallas kernel vs XLA matmul formulation.
+
+Run on the TPU:  python benchmarks/bench_fieldmul.py
+Env: FM_LOG2 (batch, default 18), FM_FIELD (fr|fq), FM_ITERS (default 8).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from contangle_zkcp_tpu.fields import instances as fi
+    from contangle_zkcp_tpu.ops import pallas_field
+
+    F = fi.bls12_381_fr() if os.environ.get("FM_FIELD", "fr") == "fr" else fi.bls12_381_fq()
+    n = 1 << int(os.environ.get("FM_LOG2", "18"))
+    iters = int(os.environ.get("FM_ITERS", "8"))
+    print(f"field={F.name} L={F.L} n={n} iters={iters} devices={jax.devices()}")
+
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, 1 << 16, size=(n, F.L)).astype(np.uint32)
+    a[:, -1] = 0  # keep < p
+    b = rng.randint(0, 1 << 16, size=(n, F.L)).astype(np.uint32)
+    b[:, -1] = 0
+    a_d, b_d = jnp.asarray(a), jnp.asarray(b)
+
+    ops = pallas_field.make(F, tile=512)
+
+    def chain(mul, a, b, iters):
+        x = a
+        for _ in range(iters):
+            x = mul(x, b)
+        return x
+
+    for name, mul in (("xla", F._mul_impl), ("pallas", ops.mul)):
+        try:
+            run = jax.jit(lambda a, b: chain(mul, a, b, iters))
+            out = run(a_d, b_d)
+            first = jax.device_get(out[0, 0])  # force
+            t0 = time.time()
+            out = run(a_d, b_d)
+            _ = jax.device_get(out[0, 0])
+            dt = (time.time() - t0) / iters
+            print(f"{name}: {dt*1e3:.2f} ms/mul-batch  {n/dt/1e6:.1f} M muls/s")
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED {type(e).__name__}: {e}")
+
+    # exactness spot check between both paths on device
+    import numpy as _np
+
+    x1 = _np.asarray(jax.device_get(jax.jit(F._mul_impl)(a_d, b_d)))
+    x2 = _np.asarray(jax.device_get(ops.mul(a_d, b_d)))
+    print("pallas == xla:", bool((x1 == x2).all()))
+
+
+if __name__ == "__main__":
+    main()
