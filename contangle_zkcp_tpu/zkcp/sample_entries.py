@@ -87,10 +87,19 @@ class ZkSampleEntries:
 
     def prepare_public_inputs(self, ciphertext_bytes: bytes):
         """Rebuild the Merkle root from the hosted ciphertext — the
-        verifier-side n-Poseidon hot loop (SURVEY.md §3.3)."""
+        verifier-side n-Poseidon hot loop (SURVEY.md §3.3).  Large trees
+        hash level-by-level as batched device calls."""
         cipher = ciphertext_from_bytes(ciphertext_bytes, self.params)
         c2 = list(cipher[1])
-        tree = build_tree_host(self.params.poseidon, c2)
+        if len(c2) >= 512:
+            from ..fields import instances as fi
+            from ..ops.merkle import build_tree_device
+            from ..ops.poseidon import PoseidonDevice
+
+            F = fi.bls12_381_fr()
+            tree = build_tree_device(F, PoseidonDevice(F), c2)
+        else:
+            tree = build_tree_host(self.params.poseidon, c2)
         return [tree.root]
 
     def verify_proof(self, pop: ProofOfProperty, public_inputs) -> bool:
