@@ -39,7 +39,35 @@ def main():
             x = mul(x, b)
         return x
 
-    for name, mul in (("xla", F._mul_impl), ("pallas", ops.mul)):
+    from contangle_zkcp_tpu.ops import pallas_mont
+
+    lanes = pallas_mont.MontMulLanes(F, lane_tile=int(os.environ.get("FM_TILE", "2048")))
+
+    def lanes_t(at, bt):
+        return lanes.mul_t(at, bt)
+
+    # transposed variant: measures the kernel itself, no layout conversion
+    at, bt = a_d.T, b_d.T
+
+    for name, mul in (
+        ("xla", F._mul_xla),
+        ("pallas_r1", ops.mul),
+        ("lanes", lanes.mul),
+        ("lanes_t", None),
+    ):
+        if name == "lanes_t":
+            try:
+                run = jax.jit(lambda a, b: chain(lanes_t, a, b, iters))
+                out = run(at, bt)
+                _ = jax.device_get(out[0, 0])
+                t0 = time.time()
+                out = run(at, bt)
+                _ = jax.device_get(out[0, 0])
+                dt = (time.time() - t0) / iters
+                print(f"{name}: {dt*1e3:.2f} ms/mul-batch  {n/dt/1e6:.1f} M muls/s")
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: FAILED {type(e).__name__}: {e}")
+            continue
         try:
             run = jax.jit(lambda a, b: chain(mul, a, b, iters))
             out = run(a_d, b_d)
@@ -55,9 +83,11 @@ def main():
     # exactness spot check between both paths on device
     import numpy as _np
 
-    x1 = _np.asarray(jax.device_get(jax.jit(F._mul_impl)(a_d, b_d)))
+    x1 = _np.asarray(jax.device_get(jax.jit(F._mul_xla)(a_d, b_d)))
     x2 = _np.asarray(jax.device_get(ops.mul(a_d, b_d)))
-    print("pallas == xla:", bool((x1 == x2).all()))
+    print("pallas_r1 == xla:", bool((x1 == x2).all()))
+    x3 = _np.asarray(jax.device_get(lanes.mul(a_d, b_d)))
+    print("lanes == xla:", bool((x1 == x3).all()))
 
 
 if __name__ == "__main__":

@@ -135,8 +135,26 @@ class SWDevice:
 
     def _add_impl(self, P, Q):
         """Renes-Costello-Batina complete addition, a = 0 (Algorithm 7),
-        restructured into 3 rounds of stacked independent multiplies."""
+        restructured into 3 rounds of stacked independent multiplies.
+
+        On TPU with large batches the whole formula runs as ONE fused
+        Pallas kernel (ops/pallas_curve.py) — 12 in-VMEM Montgomery
+        multiplies, one HBM round-trip — for prime-field groups (G1);
+        Fq2 groups (G2) and small/CPU batches keep the XLA path below.
+        """
         o = self.ops
+        if not _is_fq2(o):
+            from ..fields.fp import PALLAS_MIN_BATCH, _use_pallas
+
+            batch = P["x"].shape[:-1]
+            n = 1
+            for d in batch:
+                n *= int(d)
+            if n >= PALLAS_MIN_BATCH and _use_pallas():
+                from ..ops import pallas_curve
+
+                eng = pallas_curve.get_engine(o, tuple(int(v) for v in self._b3))
+                return eng.add(P, Q)
         X1, Y1, Z1 = P["x"], P["y"], P["z"]
         X2, Y2, Z2 = Q["x"], Q["y"], Q["z"]
         b3 = jnp.broadcast_to(jnp.asarray(self._b3), X1.shape)

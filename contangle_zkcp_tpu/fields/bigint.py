@@ -41,16 +41,33 @@ def limbs_to_int(limbs) -> int:
 
 
 def ints_to_limbs(xs, L: int) -> np.ndarray:
-    """Iterable of ints -> (N, L) uint32 array."""
+    """Iterable of ints -> (N, L) uint32 array.
+
+    Vectorized through a little-endian byte buffer (int.to_bytes +
+    np.frombuffer) — the per-element Python limb loop was the host-side
+    bottleneck for CRS/witness uploads at reference scale (n=196,608)."""
     xs = list(xs)
-    out = np.empty((len(xs), L), dtype=np.uint32)
-    for j, x in enumerate(xs):
-        out[j] = int_to_limbs(x, L)
-    return out
+    nbytes = 2 * L
+    try:
+        buf = b"".join(x.to_bytes(nbytes, "little") for x in xs)
+    except OverflowError as e:
+        raise ValueError("integer does not fit in limbs") from e
+    return (
+        np.frombuffer(buf, dtype="<u2").reshape(len(xs), L).astype(np.uint32)
+    )
 
 
 def limbs_to_ints(arr) -> list:
-    """(..., L) array -> nested list of ints (flattened to leading dim)."""
+    """(..., L) array -> nested list of ints (flattened to leading dim).
+
+    Vectorized: limbs -> one little-endian byte buffer -> per-row
+    int.from_bytes (the only remaining per-element work)."""
     arr = np.asarray(arr)
     flat = arr.reshape(-1, arr.shape[-1])
-    return [limbs_to_int(row) for row in flat]
+    n, L = flat.shape
+    buf = flat.astype("<u2").tobytes()
+    nbytes = 2 * L
+    return [
+        int.from_bytes(buf[i * nbytes : (i + 1) * nbytes], "little")
+        for i in range(n)
+    ]

@@ -38,6 +38,22 @@ from .bigint import LIMB_BITS, LIMB_MASK, int_to_limbs, ints_to_limbs, limbs_to_
 
 _U32 = jnp.uint32
 
+# Batched multiplies at or above this many elements dispatch to the
+# batch-on-lanes Pallas kernel (ops/pallas_mont.py) when tracing for TPU;
+# smaller batches and CPU tracing keep the pure-XLA formulation.
+PALLAS_MIN_BATCH = 1024
+# Escape hatch for A/B benchmarking and debugging.
+PALLAS_ENABLED = True
+
+
+def _use_pallas() -> bool:
+    if not PALLAS_ENABLED:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
 
 def _carry_scan_combine(x, y):
     # Kogge-Stone (generate, propagate) composition; x is the lower prefix.
@@ -145,7 +161,9 @@ class Fp:
         single = arr.ndim == 1
         flat = arr.reshape(-1, self.L)
         rinv = pow(self.R, -1, self.p) if mont else 1
-        out = [(limbs_to_int(row) * rinv) % self.p for row in flat]
+        from .bigint import limbs_to_ints
+
+        out = [(v * rinv) % self.p for v in limbs_to_ints(flat)]
         return out[0] if single else out
 
     def zeros(self, shape=()):
@@ -205,6 +223,23 @@ class Fp:
         return cols.astype(_U32)
 
     def _mul_impl(self, a, b):
+        """Montgomery product a*b*R^-1 mod p.
+
+        Trace-time dispatch: large batches on TPU run the batch-on-lanes
+        Pallas kernel; everything else takes the XLA wide/SOS path below.
+        Both are bit-identical (tests/test_pallas_field.py).
+        """
+        batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        n = 1
+        for d in batch:
+            n *= int(d)
+        if n >= PALLAS_MIN_BATCH and _use_pallas():
+            from ..ops import pallas_mont
+
+            return pallas_mont.get_engine(self).mul(a, b)
+        return self._mul_xla(a, b)
+
+    def _mul_xla(self, a, b):
         """Montgomery product a*b*R^-1 mod p (wide/SOS reduction).
 
         T = a*b;  m = (T mod R) * N' mod R;  res = (T + m*p) / R, which is

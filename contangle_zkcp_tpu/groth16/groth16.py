@@ -163,6 +163,15 @@ def _next_pow2(n: int) -> int:
     return 1 << max(1, (n - 1).bit_length())
 
 
+def _backend_is_tpu() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 # ---------------------------------------------------------------------- keys
 @dataclass
 class VerifyingKey:
@@ -230,7 +239,13 @@ class Groth16:
         self.ctx = curve_ctx(curve)
 
     # ------------------------------------------------------------- setup
-    def setup(self, cs: ConstraintSystem, rng: random.Random):
+    def setup(self, cs: ConstraintSystem, rng: random.Random, engine: str = "auto"):
+        """CRS generation.
+
+        engine: "host" (serial Python windowed muls — small circuits/
+        tests), "device" (batched fixed-base multiplier, ops/fixed_base.py
+        — the scale path), or "auto" (device on TPU or for large CRS).
+        """
         ctx = self.ctx
         r = ctx.r
         qap = QAP(cs, r)
@@ -239,39 +254,80 @@ class Groth16:
         ginv = pow(gamma, -1, r)
         dinv = pow(delta, -1, r)
 
-        g1_tab = FixedBaseTable(ctx.g1.add, ctx.g1.generator, r.bit_length())
-        g2_tab = FixedBaseTable(ctx.g2_dev.host_add, ctx.g2_gen, r.bit_length())
-
         ni, nv = qap.ni, qap.nv
-        gamma_abc = [
-            g1_tab.mul((beta * u[i] + alpha * v[i] + w[i]) % r * ginv % r)
-            for i in range(ni)
-        ]
-        l_query = [
-            g1_tab.mul((beta * u[i] + alpha * v[i] + w[i]) % r * dinv % r)
-            for i in range(ni, nv)
-        ]
-        a_query = [g1_tab.mul(u[i]) for i in range(nv)]
-        b_g1_query = [g1_tab.mul(v[i]) for i in range(nv)]
-        b_g2_query = [g2_tab.mul(v[i]) for i in range(nv)]
         d = qap.domain
+        total = 3 * nv + d
+        if engine == "auto":
+            engine = (
+                "device"
+                if total >= 16384 or _backend_is_tpu()
+                else "host"
+            )
+
+        # scalar vectors for every CRS element
+        abc = [(beta * u[i] + alpha * v[i] + w[i]) % r for i in range(nv)]
+        gamma_abc_s = [abc[i] * ginv % r for i in range(ni)]
+        l_s = [abc[i] * dinv % r for i in range(ni, nv)]
         z_tau = (pow(tau, d, r) - 1) % r
-        h_query = []
+        h_s = []
         t = z_tau * dinv % r
-        for j in range(d - 1):
-            h_query.append(g1_tab.mul(t))
+        for _ in range(d - 1):
+            h_s.append(t)
             t = t * tau % r
+
+        if engine == "device":
+            from ..ops.fixed_base import FixedBaseDevice
+
+            bits = r.bit_length()
+            g1_eng = FixedBaseDevice(ctx.g1_dev, ctx.g1.generator, bits)
+            g2_eng = FixedBaseDevice(ctx.g2_dev, ctx.g2_gen, bits)
+            g1_scalars = (
+                gamma_abc_s + l_s + u + v + h_s + [alpha, beta, delta]
+            )
+            g1_pts = g1_eng.mul_ints_host(g1_scalars)
+            off = 0
+
+            def take(k):
+                nonlocal off
+                out = g1_pts[off : off + k]
+                off += k
+                return out
+
+            gamma_abc = take(ni)
+            l_query = take(nv - ni)
+            a_query = take(nv)
+            b_g1_query = take(nv)
+            h_query = take(d - 1)
+            alpha_g1, beta_g1, delta_g1 = take(3)
+            g2_pts = g2_eng.mul_ints_host(v + [beta, gamma, delta])
+            b_g2_query = g2_pts[:nv]
+            beta_g2, gamma_g2, delta_g2 = g2_pts[nv:]
+        else:
+            g1_tab = FixedBaseTable(ctx.g1.add, ctx.g1.generator, r.bit_length())
+            g2_tab = FixedBaseTable(ctx.g2_dev.host_add, ctx.g2_gen, r.bit_length())
+            gamma_abc = [g1_tab.mul(s) for s in gamma_abc_s]
+            l_query = [g1_tab.mul(s) for s in l_s]
+            a_query = [g1_tab.mul(u[i]) for i in range(nv)]
+            b_g1_query = [g1_tab.mul(v[i]) for i in range(nv)]
+            b_g2_query = [g2_tab.mul(v[i]) for i in range(nv)]
+            h_query = [g1_tab.mul(s) for s in h_s]
+            alpha_g1 = g1_tab.mul(alpha)
+            beta_g1 = g1_tab.mul(beta)
+            delta_g1 = g1_tab.mul(delta)
+            beta_g2 = g2_tab.mul(beta)
+            gamma_g2 = g2_tab.mul(gamma)
+            delta_g2 = g2_tab.mul(delta)
         vk = VerifyingKey(
-            alpha_g1=g1_tab.mul(alpha),
-            beta_g2=g2_tab.mul(beta),
-            gamma_g2=g2_tab.mul(gamma),
-            delta_g2=g2_tab.mul(delta),
+            alpha_g1=alpha_g1,
+            beta_g2=beta_g2,
+            gamma_g2=gamma_g2,
+            delta_g2=delta_g2,
             gamma_abc_g1=gamma_abc,
         )
         pk = ProvingKey(
             vk=vk,
-            beta_g1=g1_tab.mul(beta),
-            delta_g1=g1_tab.mul(delta),
+            beta_g1=beta_g1,
+            delta_g1=delta_g1,
             a_query=a_query,
             b_g1_query=b_g1_query,
             b_g2_query=b_g2_query,
@@ -306,7 +362,8 @@ class Groth16:
         zinv = pow((pow(g, d, r) - 1) % r, -1, r)  # Z const on the coset
         hev = Fr.mul(num, Fr.broadcast_const(zinv, (d,)))
         h = ntt.coset_inverse(hev, g)
-        h_ints = Fr.decode(h)[: d - 1]
+        # H scalars stay on device: canonical limbs straight into the MSM
+        h_can = Fr.from_mont(h)[: d - 1]
 
         # ---- MSMs on device
         msm1 = ctx._msm_g1
@@ -316,7 +373,7 @@ class Groth16:
         b2_acc = msm2.run(pk.b_g2_query, z)
         b1_acc = msm1.run(pk.b_g1_query, z)
         l_acc = msm1.run(pk.l_query, z[qap.ni :]) if pk.l_query else None
-        h_acc = msm1.run(pk.h_query, h_ints) if pk.h_query else None
+        h_acc = msm1.run(pk.h_query, h_can) if pk.h_query else None
 
         # ---- assemble (host point algebra)
         A = g1.add(g1.add(self._vk_alpha(pk), a_acc), g1.mul(rr, pk.delta_g1))

@@ -145,12 +145,10 @@ class MSM:
         if isinstance(points, (list, tuple)):
             points = dev.encode_points(list(points))
         if isinstance(scalars, (list, tuple)):
+            from ..fields.bigint import ints_to_limbs
+
             L = -(-self.scalar_bits // LIMB_BITS)
-            arr = np.zeros((len(scalars), L), dtype=np.uint32)
-            for i, s in enumerate(scalars):
-                for j in range(L):
-                    arr[i, j] = (s >> (LIMB_BITS * j)) & 0xFFFF
-            scalars = jnp.asarray(arr)
+            scalars = jnp.asarray(ints_to_limbs(scalars, L))
         digits = digits_from_limbs(scalars, self.c, self.K)
         windows = self._bucket_phase(points, digits)
         wpts = dev.decode_points(windows)

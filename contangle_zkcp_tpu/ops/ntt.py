@@ -70,17 +70,29 @@ class NTT:
         return tables
 
     def _butterflies(self, a, tables):
-        """a: (n, L) Montgomery; applies all stages after bit-reversal."""
+        """a: (n, L) Montgomery; applies all stages after bit-reversal.
+
+        Every stage's twiddle multiply is flattened to the same (n/2, L)
+        shape — the per-stage block structure lives only in the cheap
+        reshapes/adds — so the whole transform reuses ONE compiled field-
+        multiply kernel (the Pallas batch-on-lanes kernel on TPU) instead
+        of log2(n) distinct shapes.
+        """
         F, n = self.F, self.n
         a = jnp.take(a, self._brev, axis=0)
         for s in range(self.logn):
             m = 1 << (s + 1)
             half = m // 2
             blk = a.reshape(n // m, 2, half, F.L)
-            u = blk[:, 0]
-            v = F._mul_impl(blk[:, 1], tables[s][None, :, :])
-            out = jnp.stack([F._add_impl(u, v), F._sub_impl(u, v)], axis=1)
-            a = out.reshape(n, F.L)
+            u = blk[:, 0].reshape(n // 2, F.L)
+            v = blk[:, 1].reshape(n // 2, F.L)
+            tw = jnp.broadcast_to(
+                tables[s][None, :, :], (n // m, half, F.L)
+            ).reshape(n // 2, F.L)
+            vw = F._mul_impl(v, tw)
+            hi = F._add_impl(u, vw).reshape(n // m, half, F.L)
+            lo = F._sub_impl(u, vw).reshape(n // m, half, F.L)
+            a = jnp.stack([hi, lo], axis=1).reshape(n, F.L)
         return a
 
     def _forward_impl(self, a):

@@ -1,0 +1,216 @@
+"""Batch-on-lanes Pallas Montgomery multiply — the hot field kernel.
+
+TPU-native replacement for the arkworks `ark-ff` Montgomery backend's
+inner multiply (SURVEY.md §2.2), round-2 rewrite of `ops/pallas_field.py`.
+
+Layout
+------
+The XLA path (`fields/fp.py`) and the round-1 kernel keep field elements
+as (N, L) with the L=16..24 limb axis on *lanes* — every VPU op wastes
+104/128 lanes.  This kernel transposes to **(L, N)**: the batch rides the
+128-wide lane axis (fully utilized), limbs live on sublanes, and every
+limb-product `a_i * b_j` is one full-width VPU multiply over the batch.
+
+Inside one grid step (block (L, T) in VMEM):
+  * schoolbook columns accumulate into a (2L+1, T) VMEM scratch via
+    static row-slice updates (col k += a_i*b_j for i+j=k);
+  * the low product of the Montgomery step only computes columns < L
+    (mod-R truncation) — ~1/6 of the total multiplies saved;
+  * carries resolve exactly with a Kogge-Stone generate/propagate scan
+    done as log2(rows) row-shifted and/or steps (no associative_scan —
+    Mosaic-friendly);
+  * final conditional subtract of p, all in-register.
+
+The transposes (N, L) <-> (L, N) happen *outside* the kernel as plain XLA
+ops — cheap relative to the ~5*L^2 VPU ops per element — so the kernel is
+a drop-in for `Fp._mul_impl` on any (..., L) batch.
+
+Exactness: bit-identical to `Fp._mul_xla` (same wide/SOS reduction);
+`tests/test_pallas_field.py` cross-checks against host ints in interpret
+mode, and the TPU drive scripts check the compiled kernel on-chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.bigint import LIMB_BITS, LIMB_MASK
+
+_U32 = jnp.uint32
+
+
+def _shift_rows_up(x, k):
+    """Shift along the leading (limb) axis toward higher indices by k."""
+    if k == 0:
+        return x
+    pad = jnp.zeros((k,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([pad, x[:-k]], axis=0)
+
+
+def _ks_resolve_rows(s):
+    """Exact carry resolution of row-limb sums (each lane < 2^17) into
+    16-bit limbs; carries out of the top row are dropped (callers size the
+    row count so the true value fits)."""
+    g = (s >> LIMB_BITS) & 1
+    lo = s & LIMB_MASK
+    p = (lo == LIMB_MASK).astype(_U32)
+    R = s.shape[0]
+    sh = 1
+    while sh < R:
+        g = g | (p & _shift_rows_up(g, sh))
+        p = p & _shift_rows_up(p, sh)
+        sh *= 2
+    return (lo + _shift_rows_up(g, 1)) & LIMB_MASK
+
+
+def _ks_sub_rows(a, b):
+    """Exact a - b on row-limb vectors -> (diff, no_borrow (1, T) mask)."""
+    bc = (~b) & LIMB_MASK
+    one = (jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) == 0).astype(_U32)
+    s = a + bc + one
+    g = (s >> LIMB_BITS) & 1
+    lo = s & LIMB_MASK
+    p = (lo == LIMB_MASK).astype(_U32)
+    R = a.shape[0]
+    sh = 1
+    while sh < R:
+        g = g | (p & _shift_rows_up(g, sh))
+        p = p & _shift_rows_up(p, sh)
+        sh *= 2
+    out = (lo + _shift_rows_up(g, 1)) & LIMB_MASK
+    return out, g[R - 1 : R]
+
+
+def _bcast_rows(m, shape):
+    """(1, T) mask -> (rows, T), explicit single-axis (sublane) broadcast."""
+    return jnp.broadcast_to(m, shape)
+
+
+def _accum_product(c_ref, x, y, L, low_only=False):
+    """Accumulate schoolbook columns of x*y into c_ref.
+
+    x: (L, T) or (L, 1); y: (L, T).  Column k of the product is
+    sum_{i+j=k} x_i*y_j; each x_i*y_j splits into a 16-bit lo at row i+j
+    and hi at row i+j+1, accumulated with static row-slice updates.
+    With low_only, only columns < L are produced (mod-R truncation).
+    """
+    for i in range(L):
+        jmax = L if not low_only else L - i
+        if jmax <= 0:
+            break
+        prod = x[i : i + 1] * y[:jmax]  # (jmax, T) exact uint32
+        lo = prod & LIMB_MASK
+        hi = prod >> LIMB_BITS
+        c_ref[i : i + jmax] += lo
+        if low_only:
+            # hi at rows i+1 .. i+jmax; row L would be dropped mod R anyway
+            if jmax > 1:
+                c_ref[i + 1 : i + jmax] += hi[: jmax - 1]
+        else:
+            c_ref[i + 1 : i + 1 + jmax] += hi
+
+
+def _normalize_scratch(c_ref, rows):
+    """Resolve the redundant scratch columns to 16-bit limbs (functional)."""
+    cols = c_ref[:rows]
+    lo = cols & LIMB_MASK
+    hi = _shift_rows_up(cols >> LIMB_BITS, 1)
+    return _ks_resolve_rows(lo + hi)
+
+
+def mont_mul_kernel_body(p, npinv, a, b, c_ref, t_ref, L):
+    """One block of Montgomery multiplies, all operands (rows, T) in VMEM.
+
+    p, npinv: (L, 1) constants; a, b: (L, T); c_ref/t_ref: (2L+1, T)
+    scratches.  Returns the (L, T) canonical product a*b*R^-1 mod p.
+    """
+    rows = 2 * L + 1
+    # Constants arrive pre-tiled to (L, T) (see MontMulLanes): Mosaic has
+    # no both-axes broadcast, so no degenerate dims may appear in-kernel.
+    assert p.shape == a.shape and npinv.shape == a.shape, (p.shape, a.shape)
+    # T = a*b (full columns)
+    c_ref[...] = jnp.zeros(c_ref.shape, c_ref.dtype)
+    _accum_product(c_ref, a, b, L)
+    t_lo = _normalize_scratch(c_ref, L)  # T mod R, (L, T)
+    # m = (T mod R) * N' mod R (low columns only)
+    t_ref[...] = jnp.zeros(t_ref.shape, t_ref.dtype)
+    _accum_product(t_ref, npinv, t_lo, L, low_only=True)
+    m = _normalize_scratch(t_ref, L)  # (L, T)
+    # T + m*p  (accumulate m*p straight into the T columns)
+    _accum_product(c_ref, p, m, L)
+    res = _normalize_scratch(c_ref, rows)[L : rows]  # (L+1, T), value < 2p
+    out, top = res[:L], res[L : L + 1]
+    d, no_borrow = _ks_sub_rows(out, p)
+    take = (no_borrow | top) != 0  # (1, T)
+    return jnp.where(_bcast_rows(take, d.shape), d, out)
+
+
+class MontMulLanes:
+    """Compiled batch-on-lanes Montgomery multiply for one field."""
+
+    def __init__(self, F, lane_tile: int = 2048):
+        self.F = F
+        self.L = F.L
+        self.lane_tile = lane_tile
+        # constants pre-tiled across the lane tile (no in-kernel broadcast)
+        self._p = jnp.asarray(
+            np.tile(np.asarray(F.p_limbs, np.uint32)[:, None], (1, lane_tile))
+        )
+        self._np = jnp.asarray(
+            np.tile(np.asarray(F.npinv_limbs, np.uint32)[:, None], (1, lane_tile))
+        )
+
+    def _kernel(self, p_ref, np_ref, a_ref, b_ref, o_ref, c_ref, t_ref):
+        o_ref[...] = mont_mul_kernel_body(
+            p_ref[...], np_ref[...], a_ref[...], b_ref[...], c_ref, t_ref, self.L
+        )
+
+    @functools.partial(jax.jit, static_argnums=0, static_argnames="interpret")
+    def mul_t(self, at, bt, interpret=False):
+        """Transposed multiply: at, bt (L, N) with N a lane_tile multiple."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        L, T = self.L, self.lane_tile
+        N = at.shape[1]
+        assert N % T == 0, (N, T)
+        grid = (N // T,)
+        spec = pl.BlockSpec((L, T), lambda i: (0, i), memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((L, T), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        rows = 2 * L + 1
+        return pl.pallas_call(
+            self._kernel,
+            out_shape=jax.ShapeDtypeStruct((L, N), _U32),
+            grid=grid,
+            in_specs=[cspec, cspec, spec, spec],
+            out_specs=spec,
+            scratch_shapes=[
+                pltpu.VMEM((rows, T), _U32),
+                pltpu.VMEM((rows, T), _U32),
+            ],
+            interpret=interpret,
+        )(self._p, self._np, at, bt)
+
+    def mul(self, a, b, interpret=False):
+        """Drop-in (..., L) multiply: transpose, tile-pad, kernel, restore."""
+        L, T = self.L, self.lane_tile
+        batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        a = jnp.broadcast_to(a, batch + (L,)).reshape(-1, L)
+        b = jnp.broadcast_to(b, batch + (L,)).reshape(-1, L)
+        n = a.shape[0]
+        npad = -(-n // T) * T
+        if npad != n:
+            pad = ((0, npad - n), (0, 0))
+            a = jnp.pad(a, pad)
+            b = jnp.pad(b, pad)
+        out_t = self.mul_t(a.T, b.T, interpret=interpret)
+        return out_t.T[:n].reshape(batch + (L,))
+
+
+@functools.lru_cache(maxsize=None)
+def get_engine(F, lane_tile: int = 2048) -> MontMulLanes:
+    return MontMulLanes(F, lane_tile)

@@ -47,12 +47,19 @@ def fp_from_bytes(data: bytes, p: int) -> int:
 
 
 def fp_from_random_bytes(data: bytes, p: int):
-    """arkworks `from_random_bytes`: LE-interpret (zero-padded), mask flag
-    bits above the modulus bit length, accept iff < p."""
+    """arkworks `from_random_bytes`: LE-interpret (zero-padded), mask the
+    top limb by u64::MAX >> REPR_SHAVE_BITS (ark-ff 0.3
+    `from_random_bytes_with_flags`), accept iff the result is < p.
+
+    The shave mask matters: the reference's `test_ciphertext_decode`
+    (/root/reference/circuits-ark/src/utils.rs:148-151) feeds 32 random
+    bytes whose top bit is set — only the masked value parses."""
     n = field_byte_len(p)
     if len(data) > n:
         return None
-    x = int.from_bytes(data.ljust(n, b"\0"), "little")
+    shave = 8 * n - p.bit_length()
+    mask = (1 << (8 * n - shave)) - 1
+    x = int.from_bytes(data.ljust(n, b"\0"), "little") & mask
     if x >= p:
         return None
     return x
