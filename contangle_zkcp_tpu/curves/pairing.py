@@ -12,9 +12,16 @@ Tower: Fq2 = Fq[u]/(u^2+1), Fq6 = Fq2[v]/(v^3 - xi), Fq12 = Fq6[w]/(w^2 - v)
 Correctness-first choices (documented, revisit for speed):
   * Miller loop runs with G2 untwisted into E(Fq12) via psi(x,y) =
     (x/w^2, y/w^3) and generic affine line functions — no sparse-element
-    slot bookkeeping to get subtly wrong;
-  * final exponentiation is a single generic pow by (p^12-1)/r.
-Both are cross-checked by bilinearity tests.
+    slot bookkeeping to get subtly wrong.
+Final exponentiation (round 2): easy part via the Frobenius coefficient
+map f^((p^6-1)(p^2+1)); hard part for BLS12-381 via the factorization
+3*(p^4-p^2+1)/r = (x-1)^2 (x+p)(x^2+p^2-1) + 3 — five 64-bit
+exp-by-|x| chains instead of one 4314-bit generic pow (~18x fewer Fq12
+ops; the exponent is 3*h, the same cubed map arkworks computes — cubing
+is a bijection on the order-r target group, so the pairing check is
+unchanged and G_T outputs match ark).  The integer identity is asserted
+at engine construction and the chain is cross-checked against the
+generic pow in tests/test_pairing.py.
 """
 
 from __future__ import annotations
@@ -71,6 +78,17 @@ def _fq6_inv(a, xi, p):
     t6 = f2.add(f2.mul(a0, c0, p), _mul_by_xi(f2.add(f2.mul(a2, c1, p), f2.mul(a1, c2, p), p), xi, p), p)
     t6i = f2.inv(t6, p)
     return (f2.mul(c0, t6i, p), f2.mul(c1, t6i, p), f2.mul(c2, t6i, p))
+
+
+def _fq2_pow(a, e: int, p: int):
+    r = (1, 0)
+    base = a
+    while e > 0:
+        if e & 1:
+            r = f2.mul(r, base, p)
+        base = f2.square(base, p)
+        e >>= 1
+    return r
 
 
 _FQ2_ZERO = (0, 0)
@@ -138,6 +156,38 @@ class Fq12:
     def conjugate(self, a):
         return (a[0], _fq6_neg(a[1], self.p))
 
+    # -------------------------------------------------- Frobenius p^m map
+    def _frob_coeffs(self, m: int):
+        """gamma_{m,k} = xi^(k*(p^m-1)/6) for k = 0..5 (cached)."""
+        if not hasattr(self, "_frob_cache"):
+            self._frob_cache = {}
+        if m not in self._frob_cache:
+            p, xi = self.p, self.xi
+            e = (p**m - 1) // 6
+            base = _fq2_pow(xi, e, p)
+            coeffs = [(1, 0)]
+            for _ in range(5):
+                coeffs.append(f2.mul(coeffs[-1], base, p))
+            self._frob_cache[m] = coeffs
+        return self._frob_cache[m]
+
+    def frobenius(self, a, m: int):
+        """a^(p^m) via coefficient conjugation + gamma multiplication.
+
+        Basis: element = sum over {w^0, w^2, w^4, w^1, w^3, w^5} (v = w^2)
+        of Fq2 coefficients; (w^k)^(p^m) = gamma_{m,k} * w^k."""
+        p = self.p
+        g = self._frob_coeffs(m)
+        (c0, c1, c2), (d0, d1, d2) = a
+        coeffs = [(c0, 0), (d0, 1), (c1, 2), (d1, 3), (c2, 4), (d2, 5)]
+        out = []
+        for c, k in coeffs:
+            if m % 2 == 1:
+                c = f2.conj(c, p)
+            out.append(f2.mul(c, g[k], p))
+        w0, w1, w2, w3, w4, w5 = out
+        return ((w0, w2, w4), (w1, w3, w5))
+
     # embed Fq / Fq2 scalars
     def from_fq(self, x):
         return (((x % self.p, 0), _FQ2_ZERO, _FQ2_ZERO), _FQ6_ZERO)
@@ -153,7 +203,7 @@ class Fq12:
 class PairingEngine:
     """Ate-style pairing via generic Miller loop over E(Fq12)."""
 
-    def __init__(self, p, r, xi, loop_count, loop_is_negative, twist="M"):
+    def __init__(self, p, r, xi, loop_count, loop_is_negative, twist="M", bls_x=None):
         self.p = p
         self.r = r
         self.F = Fq12(p, xi)
@@ -162,6 +212,14 @@ class PairingEngine:
         self.twist = twist  # "M": E' has b*xi (untwist divides by w^i);
         #                     "D": E' has b/xi (untwist multiplies by w^i)
         self.final_power = (p**12 - 1) // r
+        self.hard_power = (p**4 - p**2 + 1) // r
+        self.bls_x = bls_x
+        if bls_x is not None:
+            x = bls_x
+            assert (
+                (x - 1) ** 2 * (x + p) * (x**2 + p**2 - 1) + 3
+                == 3 * self.hard_power
+            ), "BLS hard-part factorization identity"
 
     # -------------------------------------------------- E(Fq12) arithmetic
     def _ec_add(self, P, Q):
@@ -239,7 +297,37 @@ class PairingEngine:
         return f
 
     def final_exponentiation(self, f):
-        return self.F.pow(f, self.final_power)
+        """f^((p^12-1)/r) (times an r-coprime cube for BLS — see module
+        docstring): easy part by Frobenius, hard part by the BLS chain or
+        a generic pow of the 1515-bit hard exponent (BN)."""
+        F = self.F
+        if f == FQ12_ZERO:
+            return F.pow(f, self.final_power)
+        # easy: f^(p^6-1) then ^(p^2+1)
+        t = F.mul(F.conjugate(f), F.inv(f))
+        m = F.mul(self.frobenius_fq12(t, 2), t)
+        if self.bls_x is None:
+            return F.pow(m, self.hard_power)
+        # hard (BLS): m^((x-1)^2 (x+p)(x^2+p^2-1)) * m^3.  After the easy
+        # part m is cyclotomic, so inverses are conjugates.
+        xa = -self.bls_x  # |x|; x < 0
+
+        def pow_xm1(g):  # g^(x-1) = conj(g^(|x|+1))
+            return F.conjugate(F.pow(g, xa + 1))
+
+        def exp_x(g):  # g^x = conj(g^|x|)
+            return F.conjugate(F.pow(g, xa))
+
+        b = pow_xm1(pow_xm1(m))  # m^((x-1)^2)
+        c = F.mul(exp_x(b), self.frobenius_fq12(b, 1))  # b^(x+p)
+        d = F.mul(
+            F.mul(exp_x(exp_x(c)), self.frobenius_fq12(c, 2)),
+            F.conjugate(c),
+        )  # c^(x^2+p^2-1)
+        return F.mul(d, F.mul(F.square(m), m))  # * m^3
+
+    def frobenius_fq12(self, a, power: int):
+        return self.F.frobenius(a, power)
 
     def pairing(self, P, Q):
         return self.final_exponentiation(self.miller_loop(P, Q))
@@ -261,6 +349,7 @@ def bls12_381() -> PairingEngine:
         xi=(1, 1),
         loop_count=-fi.BLS_X,  # |x|; x is negative
         loop_is_negative=True,
+        bls_x=fi.BLS_X,
     )
 
 
@@ -320,5 +409,4 @@ def _ec_scalar(eng, P, k):
 
 def _frobenius_point(eng, P, power):
     """(x, y) -> (x^(p^power), y^(p^power)) on E(Fq12)."""
-    e = eng.p**power
-    return (eng.F.pow(P[0], e), eng.F.pow(P[1], e))
+    return (eng.F.frobenius(P[0], power), eng.F.frobenius(P[1], power))

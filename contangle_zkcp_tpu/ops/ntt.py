@@ -99,6 +99,37 @@ class NTT:
         """Coefficients -> evaluations at the n-th roots (natural order)."""
         return self._butterflies(a, self._tw_fwd)
 
+    def _butterflies_batched(self, a, tables):
+        """(B, n, L) batch of transforms along axis 1 (same stage pipeline,
+        multiplies flattened to (B*n/2, L) so the device kernel sees one
+        shape).  Used by the four-step distributed NTT for its local
+        column/row transforms."""
+        F, n = self.F, self.n
+        B = a.shape[0]
+        a = jnp.take(a, self._brev, axis=1)
+        for s in range(self.logn):
+            m = 1 << (s + 1)
+            half = m // 2
+            blk = a.reshape(B, n // m, 2, half, F.L)
+            u = blk[:, :, 0].reshape(B * (n // 2), F.L)
+            v = blk[:, :, 1].reshape(B * (n // 2), F.L)
+            tw = jnp.broadcast_to(
+                tables[s][None, None, :, :], (B, n // m, half, F.L)
+            ).reshape(B * (n // 2), F.L)
+            vw = F._mul_impl(v, tw)
+            hi = F._add_impl(u, vw).reshape(B, n // m, half, F.L)
+            lo = F._sub_impl(u, vw).reshape(B, n // m, half, F.L)
+            a = jnp.stack([hi, lo], axis=2).reshape(B, n, F.L)
+        return a
+
+    def forward_batched(self, a):
+        """(B, n, L) -> (B, n, L), DFT along axis 1 (natural order)."""
+        return self._butterflies_batched(a, self._tw_fwd)
+
+    def inverse_batched(self, a):
+        out = self._butterflies_batched(a, self._tw_inv)
+        return self.F._mul_impl(out, self._n_inv_m[None, None, :])
+
     def _inverse_impl(self, a):
         """Evaluations -> coefficients."""
         out = self._butterflies(a, self._tw_inv)

@@ -113,11 +113,12 @@ class PallasSWAdd:
         self.lane_tile = lane_tile
 
         def tile_const(limbs):
-            return jnp.asarray(
-                np.tile(
-                    np.asarray(limbs, np.uint32).reshape(self.L)[:, None],
-                    (1, lane_tile),
-                )
+            # numpy on purpose: engines are lazily built inside jit traces
+            # (SWDevice._add_impl dispatch); jnp constants made there would
+            # be trace-local tracers (see pallas_mont.MontMulLanes)
+            return np.tile(
+                np.asarray(limbs, np.uint32).reshape(self.L)[:, None],
+                (1, lane_tile),
             )
 
         self._p = tile_const(F.p_limbs)

@@ -156,12 +156,13 @@ class MontMulLanes:
         self.F = F
         self.L = F.L
         self.lane_tile = lane_tile
-        # constants pre-tiled across the lane tile (no in-kernel broadcast)
-        self._p = jnp.asarray(
-            np.tile(np.asarray(F.p_limbs, np.uint32)[:, None], (1, lane_tile))
-        )
-        self._np = jnp.asarray(
-            np.tile(np.asarray(F.npinv_limbs, np.uint32)[:, None], (1, lane_tile))
+        # constants pre-tiled across the lane tile (no in-kernel broadcast).
+        # KEPT AS NUMPY: engines are lazily constructed inside jit traces
+        # (Fp._mul_impl dispatch); a jnp constant created there would be a
+        # tracer and leak into later traces.
+        self._p = np.tile(np.asarray(F.p_limbs, np.uint32)[:, None], (1, lane_tile))
+        self._np = np.tile(
+            np.asarray(F.npinv_limbs, np.uint32)[:, None], (1, lane_tile)
         )
 
     def _kernel(self, p_ref, np_ref, a_ref, b_ref, o_ref, c_ref, t_ref):

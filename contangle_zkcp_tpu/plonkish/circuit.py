@@ -117,12 +117,24 @@ class Gate:
 
 
 @dataclass
+class Lookup:
+    """halo2-style lookup argument: on every row, the tuple of input
+    expressions must appear (as a tuple) in some row of the table
+    expressions (halo2_proofs 0.2 `meta.lookup`; used by the reference's
+    `LookupRangeCheckConfig`, circuits-halo2/src/encryption.rs:94-99)."""
+
+    name: str
+    pairs: list  # list[(input Expr, table Expr)]
+
+
+@dataclass
 class CircuitMeta:
     p: int
     n_advice: int = 0
     n_fixed: int = 0
     n_instance: int = 0
     gates: list = field(default_factory=list)
+    lookups: list = field(default_factory=list)
 
     def advice_column(self) -> ColumnRef:
         self.n_advice += 1
@@ -142,6 +154,9 @@ class CircuitMeta:
 
     def create_gate(self, name: str, polys):
         self.gates.append(Gate(name, list(polys)))
+
+    def lookup(self, name: str, pairs):
+        self.lookups.append(Lookup(name, list(pairs)))
 
 
 # -------------------------------------------------------------- assignment

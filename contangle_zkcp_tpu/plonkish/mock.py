@@ -53,6 +53,20 @@ class MockProver:
                 failures.append(
                     f"instance binding {ck}[{ci}][{cr}] != instance[{icol}][{irow}]"
                 )
+        # lookup arguments: every row's input tuple must appear in the table
+        for lk in self.meta.lookups:
+            table_rows = set()
+            for row in range(asg.n):
+                table_rows.add(
+                    tuple(tab.eval(row, tables, p) for _, tab in lk.pairs)
+                )
+            for row in range(asg.n):
+                tup = tuple(inp.eval(row, tables, p) for inp, _ in lk.pairs)
+                if tup not in table_rows:
+                    failures.append(
+                        f"lookup '{lk.name}' unsatisfied at row {row}: {tup}"
+                    )
+                    break
         if failures and raise_on_failure:
             raise VerifyFailure("; ".join(failures[:5]))
         return failures

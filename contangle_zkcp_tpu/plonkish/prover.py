@@ -4,24 +4,32 @@ The real proving backend for the halo2 pipeline (BASELINE config #3 —
 the reference itself never invokes a real halo2 prover in-repo, only
 MockProver; this completes the path): standard PLONK vanishing argument
 over a radix-2 domain, halo2-style permutation argument for the copy
-constraints (single grand product; the extension factor is sized to the
-permutation width), quotient split into degree-n chunks, Fiat-Shamir
-challenges, and a 2-point IPA multiopen (x and w*x).
+constraints (single grand product), halo2-style lookup arguments
+(permuted input/table columns + grand product, the `meta.lookup` model
+the reference's LookupRangeCheckConfig relies on), quotient split into
+degree-n chunks, Fiat-Shamir challenges, and an IPA multiopen at
+{x, wx} plus w^-1 x when lookups are present.
+
+Zero knowledge (round 2): every committed witness polynomial — advice,
+permutation/lookup grand products, permuted lookup columns — is blinded
+with a uniformly random multiple of the vanishing polynomial,
+c'(X) = c(X) + rho(X) * (X^n - 1), deg(rho) < B.  Evaluations on the
+domain are unchanged, so every identity and the quotient pipeline work
+verbatim, while commitments and the revealed off-domain evaluations are
+randomized (B = 4 covers the commitment plus three evaluation points).
+The IPA basis is sized 2n to hold the extra B coefficients.
 
 Work placement: the domain transforms (iNTT of columns, coset evaluation
 on the extended domain, quotient interpolation) run on the device NTT
-engine; commitment MSMs ride the TPU Pippenger engine through `ipa.IPA`;
-the per-row quotient assembly is exact host arithmetic.
-
-v1 scope notes (documented, not silent):
-  * no zero-knowledge blinding rows yet (proofs are succinct and sound
-    but leak polynomial evaluations; halo2 blinds with random tail rows);
-  * no lookup argument (the mirrored circuit subset uses none).
+engine; commitment MSMs ride the device Pippenger engine when
+`use_device=True`; the per-row quotient assembly is exact host
+arithmetic (native-code candidate at k=12 scale).
 """
 
 from __future__ import annotations
 
 import hashlib
+import secrets
 from dataclasses import dataclass
 
 from ..fields import instances as fi
@@ -31,6 +39,7 @@ from .ipa import IPA, CURVE, IpaProof
 
 P = fi.PASTA_P
 GEN = 5  # multiplicative generator of F_p (coset shift + coset deltas)
+BLIND = 4  # blinding coefficients per committed witness polynomial
 
 
 # ----------------------------------------------------------- poly helpers
@@ -99,15 +108,24 @@ class PlonkPK:
 @dataclass
 class PlonkProof:
     advice_comms: list
+    lookup_perm_comms: list  # [(A' comm, S' comm)] per lookup
     z_comm: tuple
+    lookup_z_comms: list
     t_comms: list
     evals: dict  # name -> value(s)
     open_x: IpaProof
     open_wx: IpaProof
+    open_wix: IpaProof | None  # at w^-1 x, present iff lookups
 
 
 class PlonkSystem:
-    def __init__(self, meta: CircuitMeta, n: int, structural: Assignment):
+    def __init__(
+        self,
+        meta: CircuitMeta,
+        n: int,
+        structural: Assignment,
+        use_device: bool = False,
+    ):
         """`structural`: any synthesized assignment — its fixed columns,
         copies and instance bindings define the circuit structure."""
         assert n & (n - 1) == 0
@@ -120,12 +138,15 @@ class PlonkSystem:
         self.perm_cols = [("advice", i) for i in range(meta.n_advice)] + [
             ("instance", i) for i in range(meta.n_instance)
         ]
-        need = max(gate_deg, len(self.perm_cols) + 2)
+        # lookup constraints have degree 3 (product terms); blinding adds
+        # < 1 domain of degree slack, absorbed by the pow2 rounding margin
+        need = max(gate_deg + 1, len(self.perm_cols) + 2, 4)
         ext = 2
         while ext < need:
             ext *= 2
         self.ext = ext
-        self.ipa = IPA(n)
+        # IPA basis 2n: committed polynomials carry BLIND extra coeffs
+        self.ipa = IPA(2 * n, use_device_msm=use_device)
         self.domain_w = fi.root_of_unity(P, n)
         self._build_keys(structural)
 
@@ -135,7 +156,6 @@ class PlonkSystem:
         m = len(self.perm_cols)
         deltas = [pow(GEN, j, P) for j in range(m)]
         # sigma as cell permutation from copy cycles
-        pos = {(k, i): [(k, i, r) for r in range(n)] for k, i in self.perm_cols}
         cell_map = {
             (k, i, r): (k, i, r) for k, i in self.perm_cols for r in range(n)
         }
@@ -174,18 +194,95 @@ class PlonkSystem:
             sigma_evals=sigma_evals,
         )
 
+    # ---------------------------------------------------------- blinding
+    def _blind(self, coeffs, rng=None):
+        """c(X) + rho(X) * (X^n - 1), deg(rho) < BLIND: domain evals
+        unchanged, commitment + off-domain evals randomized."""
+        n = self.n
+        out = list(coeffs) + [0] * (n + BLIND - len(coeffs))
+        for i in range(BLIND):
+            r = (rng.randrange(P) if rng else secrets.randbelow(P))
+            out[i] = (out[i] - r) % P
+            out[n + i] = (out[n + i] + r) % P
+        return out
+
+    # ------------------------------------------------- lookup permutation
+    @staticmethod
+    def _permute_lookup(a_vals, s_vals):
+        """halo2's permuted (A', S'): A' sorted; S' has each first-of-run
+        value of A' aligned, remaining table values filling the rest."""
+        from collections import Counter
+
+        n = len(a_vals)
+        a_sorted = sorted(a_vals)
+        leftovers = Counter(s_vals)
+        s_prime = [None] * n
+        for i, v in enumerate(a_sorted):
+            if i == 0 or v != a_sorted[i - 1]:
+                if leftovers[v] <= 0:
+                    raise ValueError("lookup input not in table")
+                leftovers[v] -= 1
+                s_prime[i] = v
+        fill = iter(sorted(leftovers.elements()))
+        for i in range(n):
+            if s_prime[i] is None:
+                s_prime[i] = next(fill)
+        return a_sorted, s_prime
+
     # ------------------------------------------------------------- prove
-    def prove(self, asg: Assignment, instances) -> PlonkProof:
+    def prove(self, asg: Assignment, instances, rng=None) -> PlonkProof:
         n, ext, meta = self.n, self.ext, self.meta
         pk = self.pk
         size = ext * n
         inst_cols = [
             list(col) + [0] * (n - len(col)) for col in instances
         ]
-        advice_polys = [_coeffs_from_evals(list(c)) for c in asg.advice]
+        advice_polys = [
+            self._blind(_coeffs_from_evals(list(c)), rng) for c in asg.advice
+        ]
         inst_polys = [_coeffs_from_evals(c) for c in inst_cols]
         advice_comms = [self.ipa.commit(c) for c in advice_polys]
         transcript = b"plonk" + b"".join(_pt(c) for c in advice_comms)
+
+        # ---- lookups: compress with theta, permute, commit
+        base_tables = {
+            "advice": [list(c) for c in asg.advice],
+            "fixed": [list(c) for c in asg.fixed],
+            "instance": inst_cols,
+        }
+        theta = _fs(transcript + b"theta")
+        lookup_data = []
+        for lk in meta.lookups:
+            a_vec = [0] * n
+            s_vec = [0] * n
+            t_pow = 1
+            for inp, tab in lk.pairs:
+                iv = inp.eval_vec(base_tables, P, n)
+                tv = tab.eval_vec(base_tables, P, n)
+                for r in range(n):
+                    a_vec[r] = (a_vec[r] + t_pow * iv[r]) % P
+                    s_vec[r] = (s_vec[r] + t_pow * tv[r]) % P
+                t_pow = t_pow * theta % P
+            ap_vals, sp_vals = self._permute_lookup(a_vec, s_vec)
+            ap_poly = self._blind(_coeffs_from_evals(ap_vals), rng)
+            sp_poly = self._blind(_coeffs_from_evals(sp_vals), rng)
+            lookup_data.append(
+                {
+                    "a": a_vec,
+                    "s": s_vec,
+                    "ap": ap_vals,
+                    "sp": sp_vals,
+                    "ap_poly": ap_poly,
+                    "sp_poly": sp_poly,
+                    "ap_comm": self.ipa.commit(ap_poly),
+                    "sp_comm": self.ipa.commit(sp_poly),
+                }
+            )
+        lookup_perm_comms = [(d["ap_comm"], d["sp_comm"]) for d in lookup_data]
+        transcript = hashlib.sha256(
+            transcript
+            + b"".join(_pt(a) + _pt(s) for a, s in lookup_perm_comms)
+        ).digest()
         beta = _fs(transcript + b"beta")
         gamma = _fs(transcript + b"gamma")
 
@@ -207,9 +304,22 @@ class PlonkSystem:
                 num = num * ((v + beta * pk.vk.deltas[j] * ws[r] + gamma) % P) % P
                 den = den * ((v + beta * pk.sigma_evals[j][r] + gamma) % P) % P
             z.append(z[-1] * num % P * pow(den, -1, P) % P)
-        z_poly = _coeffs_from_evals(z)
+        z_poly = self._blind(_coeffs_from_evals(z), rng)
         z_comm = self.ipa.commit(z_poly)
-        transcript = hashlib.sha256(transcript + _pt(z_comm)).digest()
+
+        # ---- lookup grand products
+        for d in lookup_data:
+            zl = [1]
+            for r in range(n - 1):
+                num = (d["a"][r] + beta) * (d["s"][r] + gamma) % P
+                den = (d["ap"][r] + beta) * (d["sp"][r] + gamma) % P
+                zl.append(zl[-1] * num % P * pow(den, -1, P) % P)
+            d["z_poly"] = self._blind(_coeffs_from_evals(zl), rng)
+            d["z_comm"] = self.ipa.commit(d["z_poly"])
+        lookup_z_comms = [d["z_comm"] for d in lookup_data]
+        transcript = hashlib.sha256(
+            transcript + _pt(z_comm) + b"".join(_pt(c) for c in lookup_z_comms)
+        ).digest()
         alpha = _fs(transcript + b"alpha")
 
         # ---- quotient on the extended coset
@@ -220,7 +330,6 @@ class PlonkSystem:
         }
         sigma_ext = [_evals_on_coset(c, size) for c in pk.sigma_polys]
         z_ext = _evals_on_coset(z_poly, size)
-        # vanishing and L_0 on the coset
         gnp = pow(GEN, n, P)
         w_ext = fi.root_of_unity(P, size)
         zh = [(gnp * pow(w_ext, (i * n) % size, P) - 1) % P for i in range(size)]
@@ -251,9 +360,48 @@ class PlonkSystem:
             zw = z_ext[(i + ext) % size]
             term = (zw * den - zi * num) % P
             quotient[i] = (quotient[i] + a_pow * term) % P
-        a_pow2 = a_pow * alpha % P
+        a_pow = a_pow * alpha % P
         for i in range(size):
-            quotient[i] = (quotient[i] + a_pow2 * (l0[i] * ((z_ext[i] - 1) % P))) % P
+            quotient[i] = (quotient[i] + a_pow * (l0[i] * ((z_ext[i] - 1) % P))) % P
+        a_pow = a_pow * alpha % P
+        # lookup constraints
+        for d in lookup_data:
+            a_ext = [0] * size
+            s_ext = [0] * size
+            t_pow = 1
+            for inp, tab in meta.lookups[lookup_data.index(d)].pairs:
+                iv = inp.eval_vec(tables_ext, P, size, rot_scale=ext)
+                tv = tab.eval_vec(tables_ext, P, size, rot_scale=ext)
+                for i in range(size):
+                    a_ext[i] = (a_ext[i] + t_pow * iv[i]) % P
+                    s_ext[i] = (s_ext[i] + t_pow * tv[i]) % P
+                t_pow = t_pow * theta % P
+            ap_ext = _evals_on_coset(d["ap_poly"], size)
+            sp_ext = _evals_on_coset(d["sp_poly"], size)
+            zl_ext = _evals_on_coset(d["z_poly"], size)
+            for i in range(size):
+                zi = zl_ext[i]
+                zw = zl_ext[(i + ext) % size]
+                # 1) L0 (Z - 1)
+                quotient[i] = (quotient[i] + a_pow * (l0[i] * ((zi - 1) % P))) % P
+                # 2) Z(wX)(A'+beta)(S'+gamma) - Z(X)(A+beta)(S+gamma)
+                t2 = (
+                    zw * ((ap_ext[i] + beta) % P) % P * ((sp_ext[i] + gamma) % P)
+                    - zi * ((a_ext[i] + beta) % P) % P * ((s_ext[i] + gamma) % P)
+                ) % P
+                quotient[i] = (quotient[i] + a_pow * alpha % P * t2) % P
+                # 3) (A' - S') (A'(X) - A'(w^-1 X))
+                ap_prev = ap_ext[(i - ext) % size]
+                t3 = (ap_ext[i] - sp_ext[i]) * ((ap_ext[i] - ap_prev) % P) % P
+                quotient[i] = (
+                    quotient[i] + a_pow * alpha % P * alpha % P * t3
+                ) % P
+                # 4) L0 (A' - S')
+                t4 = l0[i] * ((ap_ext[i] - sp_ext[i]) % P) % P
+                quotient[i] = (
+                    quotient[i] + a_pow * pow(alpha, 3, P) % P * t4
+                ) % P
+            a_pow = a_pow * pow(alpha, 4, P) % P
         t_evals = [quotient[i] * zh_inv[i] % P for i in range(size)]
         t_coeffs = _coeffs_from_coset(t_evals)
         # split into ext chunks of degree < n
@@ -264,6 +412,7 @@ class PlonkSystem:
         ).digest()
         x = _fs(transcript + b"x")
         wx = x * w % P
+        wix = x * pow(w, -1, P) % P
 
         evals = {
             "advice_x": [_eval_at(c, x) for c in advice_polys],
@@ -273,46 +422,78 @@ class PlonkSystem:
             "z_x": _eval_at(z_poly, x),
             "z_wx": _eval_at(z_poly, wx),
             "t_x": [_eval_at(c, x) for c in t_chunks],
+            "lk_ap_x": [_eval_at(d["ap_poly"], x) for d in lookup_data],
+            "lk_ap_wix": [_eval_at(d["ap_poly"], wix) for d in lookup_data],
+            "lk_sp_x": [_eval_at(d["sp_poly"], x) for d in lookup_data],
+            "lk_z_x": [_eval_at(d["z_poly"], x) for d in lookup_data],
+            "lk_z_wx": [_eval_at(d["z_poly"], wx) for d in lookup_data],
         }
         transcript = hashlib.sha256(
-            transcript
-            + b"".join(
-                int(v).to_bytes(32, "big")
-                for v in (
-                    evals["advice_x"]
-                    + evals["advice_wx"]
-                    + evals["fixed_x"]
-                    + evals["sigma_x"]
-                    + [evals["z_x"], evals["z_wx"]]
-                    + evals["t_x"]
-                )
-            )
+            transcript + self._evals_bytes(evals)
         ).digest()
         nu = _fs(transcript + b"nu")
 
-        # ---- multiopen: combined poly at x, combined at wx
+        # ---- multiopen: combined poly at x, at wx, at w^-1 x
         def combine(polys):
-            out = [0] * n
+            width = 2 * n
+            out = [0] * width
             s = 1
             for c in polys:
-                cc = list(c) + [0] * (n - len(c))
-                for i in range(n):
+                cc = list(c) + [0] * (width - len(c))
+                for i in range(width):
                     out[i] = (out[i] + s * cc[i]) % P
                 s = s * nu % P
             return out
 
-        at_x_polys = advice_polys + pk.fixed_polys + pk.sigma_polys + [z_poly] + t_chunks
-        at_wx_polys = advice_polys + [z_poly]
+        at_x_polys = (
+            advice_polys
+            + pk.fixed_polys
+            + pk.sigma_polys
+            + [z_poly]
+            + t_chunks
+            + [d["ap_poly"] for d in lookup_data]
+            + [d["sp_poly"] for d in lookup_data]
+            + [d["z_poly"] for d in lookup_data]
+        )
+        at_wx_polys = advice_polys + [z_poly] + [d["z_poly"] for d in lookup_data]
         open_x = self.ipa.open(combine(at_x_polys), x)
         open_wx = self.ipa.open(combine(at_wx_polys), wx)
+        open_wix = None
+        if lookup_data:
+            open_wix = self.ipa.open(
+                combine([d["ap_poly"] for d in lookup_data]), wix
+            )
         return PlonkProof(
             advice_comms=advice_comms,
+            lookup_perm_comms=lookup_perm_comms,
             z_comm=z_comm,
+            lookup_z_comms=lookup_z_comms,
             t_comms=t_comms,
             evals=evals,
             open_x=open_x,
             open_wx=open_wx,
+            open_wix=open_wix,
         )
+
+    @staticmethod
+    def _evals_bytes(ev) -> bytes:
+        names = [
+            "advice_x",
+            "advice_wx",
+            "fixed_x",
+            "sigma_x",
+            "t_x",
+            "lk_ap_x",
+            "lk_ap_wix",
+            "lk_sp_x",
+            "lk_z_x",
+            "lk_z_wx",
+        ]
+        vals = []
+        for nme in names:
+            vals.extend(ev[nme])
+        vals.extend([ev["z_x"], ev["z_wx"]])
+        return b"".join(int(v).to_bytes(32, "big") for v in vals)
 
     # ------------------------------------------------------------ verify
     def verify(self, proof: PlonkProof, instances) -> bool:
@@ -323,9 +504,18 @@ class PlonkSystem:
         inst_polys = [_coeffs_from_evals(c) for c in inst_cols]
 
         transcript = b"plonk" + b"".join(_pt(c) for c in proof.advice_comms)
+        theta = _fs(transcript + b"theta")
+        transcript = hashlib.sha256(
+            transcript
+            + b"".join(_pt(a) + _pt(s) for a, s in proof.lookup_perm_comms)
+        ).digest()
         beta = _fs(transcript + b"beta")
         gamma = _fs(transcript + b"gamma")
-        transcript = hashlib.sha256(transcript + _pt(proof.z_comm)).digest()
+        transcript = hashlib.sha256(
+            transcript
+            + _pt(proof.z_comm)
+            + b"".join(_pt(c) for c in proof.lookup_z_comms)
+        ).digest()
         alpha = _fs(transcript + b"alpha")
         transcript = hashlib.sha256(
             transcript + b"".join(_pt(c) for c in proof.t_comms)
@@ -333,32 +523,27 @@ class PlonkSystem:
         x = _fs(transcript + b"x")
         w = self.domain_w
         wx = x * w % P
+        wix = x * pow(w, -1, P) % P
         ev = proof.evals
+        if len(proof.lookup_perm_comms) != len(meta.lookups) or len(
+            proof.lookup_z_comms
+        ) != len(meta.lookups):
+            return False
         transcript = hashlib.sha256(
-            transcript
-            + b"".join(
-                int(v).to_bytes(32, "big")
-                for v in (
-                    ev["advice_x"]
-                    + ev["advice_wx"]
-                    + ev["fixed_x"]
-                    + ev["sigma_x"]
-                    + [ev["z_x"], ev["z_wx"]]
-                    + ev["t_x"]
-                )
-            )
+            transcript + self._evals_bytes(ev)
         ).digest()
         nu = _fs(transcript + b"nu")
 
         # ---- recompute the identity at x
         inst_x = [_eval_at(c, x) for c in inst_polys]
-        # single-row tables: col value at rotation 0 -> *_x; rotation 1 -> *_wx
-        class _RowTables(dict):
-            pass
 
         def col_val(kind, idx, rot):
             if kind == "advice":
-                return ev["advice_x"][idx] if rot == 0 else ev["advice_wx"][idx]
+                if rot == 0:
+                    return ev["advice_x"][idx]
+                if rot == 1:
+                    return ev["advice_wx"][idx]
+                raise ValueError("unsupported advice rotation")
             if kind == "fixed":
                 assert rot == 0, "fixed rotations beyond 0 unsupported"
                 return ev["fixed_x"][idx]
@@ -395,10 +580,34 @@ class PlonkSystem:
             num = num * ((v + beta * vk.deltas[j] % P * x + gamma) % P) % P
             den = den * ((v + beta * ev["sigma_x"][j] + gamma) % P) % P
         total = (total + a_pow * ((ev["z_wx"] * den - ev["z_x"] * num) % P)) % P
-        a_pow2 = a_pow * alpha % P
+        a_pow = a_pow * alpha % P
         zh_x = (pow(x, n, P) - 1) % P
         l0_x = zh_x * pow(n, -1, P) % P * pow((x - 1) % P, -1, P) % P
-        total = (total + a_pow2 * (l0_x * ((ev["z_x"] - 1) % P) % P)) % P
+        total = (total + a_pow * (l0_x * ((ev["z_x"] - 1) % P) % P)) % P
+        a_pow = a_pow * alpha % P
+        for li, lk in enumerate(meta.lookups):
+            a_x = s_x = 0
+            t_pow = 1
+            for inp, tab in lk.pairs:
+                a_x = (a_x + t_pow * eval_expr(inp)) % P
+                s_x = (s_x + t_pow * eval_expr(tab)) % P
+                t_pow = t_pow * theta % P
+            zi = ev["lk_z_x"][li]
+            zw = ev["lk_z_wx"][li]
+            ap = ev["lk_ap_x"][li]
+            app = ev["lk_ap_wix"][li]
+            sp = ev["lk_sp_x"][li]
+            total = (total + a_pow * (l0_x * ((zi - 1) % P) % P)) % P
+            t2 = (
+                zw * ((ap + beta) % P) % P * ((sp + gamma) % P)
+                - zi * ((a_x + beta) % P) % P * ((s_x + gamma) % P)
+            ) % P
+            total = (total + a_pow * alpha % P * t2) % P
+            t3 = (ap - sp) * ((ap - app) % P) % P
+            total = (total + a_pow * alpha % P * alpha % P * t3) % P
+            t4 = l0_x * ((ap - sp) % P) % P
+            total = (total + a_pow * pow(alpha, 3, P) % P * t4) % P
+            a_pow = a_pow * pow(alpha, 4, P) % P
         t_x = 0
         xn = pow(x, n, P)
         s = 1
@@ -425,18 +634,45 @@ class PlonkSystem:
                 s = s * nu % P
             return acc
 
+        lk_ap_comms = [a for a, _ in proof.lookup_perm_comms]
+        lk_sp_comms = [s for _, s in proof.lookup_perm_comms]
         at_x_comms = (
-            proof.advice_comms + vk.fixed_comms + vk.sigma_comms + [proof.z_comm] + proof.t_comms
+            proof.advice_comms
+            + vk.fixed_comms
+            + vk.sigma_comms
+            + [proof.z_comm]
+            + proof.t_comms
+            + lk_ap_comms
+            + lk_sp_comms
+            + proof.lookup_z_comms
         )
         at_x_vals = (
-            ev["advice_x"] + ev["fixed_x"] + ev["sigma_x"] + [ev["z_x"]] + ev["t_x"]
+            ev["advice_x"]
+            + ev["fixed_x"]
+            + ev["sigma_x"]
+            + [ev["z_x"]]
+            + ev["t_x"]
+            + ev["lk_ap_x"]
+            + ev["lk_sp_x"]
+            + ev["lk_z_x"]
         )
         if not self.ipa.verify(
             combine_comms(at_x_comms), x, combine_vals(at_x_vals), proof.open_x
         ):
             return False
-        at_wx_comms = proof.advice_comms + [proof.z_comm]
-        at_wx_vals = ev["advice_wx"] + [ev["z_wx"]]
-        return self.ipa.verify(
+        at_wx_comms = proof.advice_comms + [proof.z_comm] + proof.lookup_z_comms
+        at_wx_vals = ev["advice_wx"] + [ev["z_wx"]] + ev["lk_z_wx"]
+        if not self.ipa.verify(
             combine_comms(at_wx_comms), wx, combine_vals(at_wx_vals), proof.open_wx
-        )
+        ):
+            return False
+        if meta.lookups:
+            if proof.open_wix is None:
+                return False
+            return self.ipa.verify(
+                combine_comms(lk_ap_comms),
+                wix,
+                combine_vals(ev["lk_ap_wix"]),
+                proof.open_wix,
+            )
+        return True

@@ -53,3 +53,37 @@ def test_bn254_bilinearity():
     e_ab = eng.pairing(G1.mul(a, G1.generator), g2dev.host_mul(b, G2))
     assert e_ab == eng.F.pow(e_1, a * b)
     assert eng.F.pow(e_1, fi.BN254_R) == pairing.FQ12_ONE
+
+
+def test_frobenius_map_matches_generic_pow():
+    import random
+
+    from contangle_zkcp_tpu.curves import pairing as pm
+
+    eng = pm.bls12_381()
+    F = eng.F
+    rng = random.Random(11)
+
+    def rand_fq12():
+        rnd = lambda: (rng.randrange(eng.p), rng.randrange(eng.p))
+        return ((rnd(), rnd(), rnd()), (rnd(), rnd(), rnd()))
+
+    a = rand_fq12()
+    for m in (1, 2, 3):
+        assert F.frobenius(a, m) == F.pow(a, eng.p**m)
+
+
+def test_bls_final_exp_chain_matches_generic():
+    """The factorized hard-part chain computes f^(3*(p^12-1)/r)."""
+    import random
+
+    from contangle_zkcp_tpu.curves import pairing as pm
+
+    eng = pm.bls12_381()
+    F = eng.F
+    rng = random.Random(12)
+    rnd = lambda: (rng.randrange(eng.p), rng.randrange(eng.p))
+    f = ((rnd(), rnd(), rnd()), (rnd(), rnd(), rnd()))
+    got = eng.final_exponentiation(f)
+    want = F.pow(f, 3 * eng.final_power)
+    assert got == want

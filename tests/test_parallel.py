@@ -46,3 +46,21 @@ def test_sharded_msm_matches_host():
     smsm = ShardedMSM(msm, mesh)
     got = smsm.run(pts, scalars)
     assert got == msm_host(C, pts, scalars)
+
+
+def test_four_step_ntt_matches_single_chip():
+    """Explicit Bailey four-step with all_to_all exchanges vs the
+    single-chip pipeline, 8-device mesh, n=2^10 (n1=n2=32)."""
+    from contangle_zkcp_tpu.parallel.ntt_sharded import FourStepNTT
+
+    F = fi.bls12_381_fr()
+    n = 1 << 10
+    eng = NTT(F, n)
+    mesh = make_mesh(8)
+    four = FourStepNTT(F, n, mesh, axis=mesh.axis_names[0])
+    rng = random.Random(73)
+    coeffs = [rng.randrange(F.p) for _ in range(n)]
+    a = F.encode(coeffs)
+    want = F.decode(eng.forward(a))
+    got = F.decode(four.forward(jax.numpy.asarray(a)))
+    assert got == want
