@@ -1,0 +1,92 @@
+"""Reference-scale Proof-of-Encryption drive: setup -> prove -> verify.
+
+The reference's largest test proves the PoE circuit at n=196,608 blocks
+(/root/reference/circuits-ark/src/encryption.rs:379) and the circom
+composition at n=49,152.  This drive runs the same circuit sizes through
+the TPU pipeline end-to-end and records phase latencies.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u benchmarks/drive_scale_proof.py
+Env: SCALE_N (default 49152).
+"""
+
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from contangle_zkcp_tpu.circuits import elgamal
+    from contangle_zkcp_tpu.circuits.encrypt_circuit import EncryptCircuit
+    from contangle_zkcp_tpu.curves import instances as ci
+    from contangle_zkcp_tpu.groth16 import Groth16
+
+    n = int(os.environ.get("SCALE_N", "49152"))
+    rng = random.Random(0)
+    params = elgamal.ElGamalParams(curve=ci.JUBJUB, n=n)
+    circ = EncryptCircuit(params)
+
+    # real message: n random byte-blocks (1 byte per block, like the
+    # protocol's bytes_to_plaintext_chunks_direct)
+    msg = [rng.randrange(256) for _ in range(n)]
+    sk, pk_pt = elgamal.keygen(params, rng)
+    r = elgamal.random_scalar(params, rng)
+    t0 = time.time()
+    cipher = elgamal.encrypt(params, pk_pt, msg, r)
+    t_enc = time.time() - t0
+    print(json.dumps({"phase": "native_encrypt", "n": n, "sec": round(t_enc, 2)}))
+
+    t0 = time.time()
+    cs = circ.synthesize(pk_pt, msg, r, cipher)
+    t_syn = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "phase": "synthesize",
+                "constraints": cs.num_constraints,
+                "vars": cs.num_variables,
+                "sec": round(t_syn, 2),
+            }
+        )
+    )
+    assert cs.is_satisfied(), "constraint system unsatisfied"
+
+    eng = Groth16("bls12_381")
+    t0 = time.time()
+    pk, vk = eng.setup(cs, rng, engine="device")
+    t_setup = time.time() - t0
+    print(json.dumps({"phase": "setup", "sec": round(t_setup, 2)}))
+
+    t0 = time.time()
+    proof = eng.prove(pk, cs, rng)
+    t_prove = time.time() - t0
+    print(json.dumps({"phase": "prove", "sec": round(t_prove, 2)}))
+
+    t0 = time.time()
+    ok = eng.verify(vk, cs.public_inputs(), proof)
+    t_ver = time.time() - t0
+    print(json.dumps({"phase": "verify", "ok": bool(ok), "sec": round(t_ver, 2)}))
+    assert ok, "proof did not verify"
+
+    # negative probe: tamper one public input
+    bad = cs.public_inputs()
+    bad[2] = (bad[2] + 1) % eng.ctx.r
+    assert not eng.verify(vk, bad, proof), "tampered inputs accepted"
+    print(
+        json.dumps(
+            {
+                "metric": f"groth16_poe_n{n}_prove_sec",
+                "value": round(t_prove, 2),
+                "unit": "s",
+                "setup_sec": round(t_setup, 2),
+                "verify_sec": round(t_ver, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

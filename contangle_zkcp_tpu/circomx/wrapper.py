@@ -71,13 +71,16 @@ class CircomBuilder:
             self.assignments[loc] = int(values) % prime
 
     def solve_witness(self):
-        """Fill remaining wires by propagating solvable constraints."""
+        """Fill remaining wires: single-unknown constraint propagation
+        (handles nonlinear intermediates — products, squares) plus a
+        bit-decomposition hint solver for the Num2Bits pattern whose
+        values circom normally computes in wasm."""
         r1 = self.cfg.r1cs
         prime = r1.prime
         wires = dict(self.assignments)
         pending = list(r1.constraints)
-        progress = True
-        while progress and pending:
+        booleans = self._boolean_wires(r1.constraints, prime)
+        while pending:
             progress = False
             rest = []
             for (a, b, c) in pending:
@@ -87,11 +90,15 @@ class CircomBuilder:
                 else:
                     rest.append((a, b, c))
             pending = rest
+            if not progress and pending:
+                if not self._try_bit_decomp(pending, wires, prime, booleans):
+                    break
         missing = [w for w in range(r1.n_wires) if w not in wires]
         if missing:
             raise ProofError(
-                f"cannot determine wires {missing[:5]}... without the circom "
-                "wasm witness generator (unavailable in this environment)"
+                f"cannot determine wires {missing[:5]}... (constraint "
+                "propagation + bit-decomposition hints exhausted; the "
+                "circuit needs its wasm witness generator)"
             )
         if self.cfg.sanity_check:
             for a, b, c in r1.constraints:
@@ -101,6 +108,82 @@ class CircomBuilder:
                 if av * bv % prime != cv:
                     raise ProofError("circom constraint unsatisfied")
         return [wires[w] for w in range(r1.n_wires)]
+
+    @staticmethod
+    def _boolean_wires(constraints, prime):
+        """Wires w with a booleanity constraint w*(w-1) = 0 (either
+        polarity circom emits: (w)(w-1)=0 or (1-w)(w)=0 etc.)."""
+        out = set()
+        for a, b, c in constraints:
+            if any(co % prime for co in c.values()):
+                continue
+            aw = {w for w in a if w != 0}
+            bw = {w for w in b if w != 0}
+            if len(aw) == 1 and aw == bw:
+                out.add(next(iter(aw)))
+        return out
+
+    @staticmethod
+    def _try_bit_decomp(pending, wires, prime, booleans):
+        """Num2Bits hint: a stalled constraint A*B = C where A and B are
+        fully known and C's unknowns are boolean wires with distinct
+        (same-sign) power-of-two coefficients — read the bits straight
+        off the known value, as the circuit's wasm generator would.
+        Covers circom's linear normal form (A = B = empty, equation in C)
+        and the (L)(const) variants alike."""
+
+        def value_of(terms):
+            tot = 0
+            for w, co in terms.items():
+                if w == 0 or w in wires:
+                    tot = (tot + co * wires.get(w, 1)) % prime
+                else:
+                    return None
+            return tot
+
+        for a, b, c in pending:
+            av = value_of(a)
+            bv = value_of(b)
+            if av is None or bv is None:
+                continue
+            target = av * bv % prime
+            known = 0
+            unk = []
+            for w, co in c.items():
+                if w == 0 or w in wires:
+                    known = (known + co * wires.get(w, 1)) % prime
+                else:
+                    unk.append((w, co))
+            if not unk or any(w not in booleans for w, _ in unk):
+                continue
+            residual = (target - known) % prime
+            powers = {}
+            ok = True
+            negs = 0
+            for w, co in unk:
+                v = co % prime
+                neg = v.bit_length() > prime.bit_length() - 2
+                if neg:
+                    v = prime - v
+                    negs += 1
+                if v == 0 or v & (v - 1):
+                    ok = False
+                    break
+                powers[w] = v.bit_length() - 1
+            if not ok or len(set(powers.values())) != len(powers):
+                continue
+            if negs and negs != len(unk):
+                continue  # mixed-sign decomposition unsupported
+            if negs:
+                residual = (-residual) % prime
+            if residual.bit_length() > max(powers.values()) + 1:
+                continue
+            if sum(((residual >> e) & 1) << e for e in powers.values()) != residual:
+                continue  # residual has bits outside the given positions
+            for w, e in powers.items():
+                wires[w] = (residual >> e) & 1
+            return True
+        return False
 
     @staticmethod
     def _try_solve(a, b, c, wires, prime):

@@ -89,3 +89,51 @@ VESTA = SWCurve(
     gx=fi.PASTA_Q - 1,
     gy=2,
 )
+
+
+# -------------------------------------------- BLS12-377 G1 / BW6-761 G1
+# The recursion-friendly pair the reference stages at
+# circuits-ark/src/lib.rs:15-19 (inner curve BLS12-377, outer BW6-761,
+# whose scalar field is BLS12-377's base field).  Generators here are
+# derived deterministically (smallest-x curve point, cofactor-cleared)
+# — documented as NOT arkworks' pinned generators; cross-curve artifact
+# compatibility for this pair is not a reference requirement (the
+# reference only re-exports the types).
+def _derive_generator(p, b, cofactor, order):
+    from .host import sqrt_mod
+
+    x = 1
+    while True:
+        y2 = (x * x * x + b) % p
+        y = sqrt_mod(y2, p)
+        if y is not None:
+            cand = SWCurve(p=p, a=0, b=b % p, order=order, gx=x, gy=min(y, p - y))
+            G = cand.mul(cofactor, (x, min(y, p - y)))
+            if G is not None and cand.mul(order, G) is None:
+                return G
+        x += 1
+
+
+_g377 = _derive_generator(
+    fi.BLS12_377_P, 1, fi.BLS12_377_G1_COFACTOR, fi.BLS12_377_R
+)
+BLS12_377_G1 = SWCurve(
+    p=fi.BLS12_377_P,
+    a=0,
+    b=1,
+    order=fi.BLS12_377_R,
+    gx=_g377[0],
+    gy=_g377[1],
+)
+
+_gbw6 = _derive_generator(
+    fi.BW6_761_P, fi.BW6_761_P - 1, fi.BW6_761_G1_COFACTOR, fi.BW6_761_R
+)
+BW6_761_G1 = SWCurve(
+    p=fi.BW6_761_P,
+    a=0,
+    b=fi.BW6_761_P - 1,
+    order=fi.BW6_761_R,
+    gx=_gbw6[0],
+    gy=_gbw6[1],
+)

@@ -61,6 +61,42 @@ BLS12_377_P = int(
 BLS12_377_R = int(
     "0x12ab655e9a2ca55660b44d1e5c37b00159aa76fed00000010a11800000000001", 16
 )
+# BLS family parameter; validated in tests: r = x^4-x^2+1,
+# p = (x-1)^2 r / 3 + x reproduce the constants above.
+BLS12_377_X = 0x8508C00000000001
+BLS12_377_G1_COFACTOR = (BLS12_377_X - 1) ** 2 // 3
+
+# BW6-761 (El Housni-Guillevic one-layer composition curve): base field
+# q from the paper's degree-12 polynomial in the same x; its scalar
+# field IS BLS12-377's base field (r_BW6 = p_377).  Curve y^2 = x^3 - 1
+# with trace t = t0 + 13*r_BW6 (t0 = x^5-3x^4+3x^3-x+3); q primality,
+# the 761-bit size, and the group order q+1-t are all re-verified
+# empirically in tests/test_recursion_curves.py.
+BW6_761_P = (
+    103 * BLS12_377_X**12
+    - 379 * BLS12_377_X**11
+    + 250 * BLS12_377_X**10
+    + 691 * BLS12_377_X**9
+    - 911 * BLS12_377_X**8
+    - 79 * BLS12_377_X**7
+    + 623 * BLS12_377_X**6
+    - 640 * BLS12_377_X**5
+    + 274 * BLS12_377_X**4
+    + 763 * BLS12_377_X**3
+    + 73 * BLS12_377_X**2
+    + 254 * BLS12_377_X
+    + 229
+) // 9
+BW6_761_R = BLS12_377_P
+_BW6_T = (
+    BLS12_377_X**5
+    - 3 * BLS12_377_X**4
+    + 3 * BLS12_377_X**3
+    - BLS12_377_X
+    + 3
+    + 13 * BW6_761_R
+)
+BW6_761_G1_COFACTOR = (BW6_761_P + 1 - _BW6_T) // BW6_761_R
 
 
 @lru_cache(maxsize=None)
@@ -101,6 +137,19 @@ def pasta_fp() -> Fp:
 def pasta_fq() -> Fp:
     """Vesta base field (== Pallas scalar field)."""
     return get_field(PASTA_Q, "pasta_fq")
+
+
+def bls12_377_fq() -> Fp:
+    return get_field(BLS12_377_P, "bls12_377_fq")
+
+
+def bls12_377_fr() -> Fp:
+    return get_field(BLS12_377_R, "bls12_377_fr")
+
+
+def bw6_761_fq() -> Fp:
+    """BW6-761 base field; its scalar field is BLS12-377's base field."""
+    return get_field(BW6_761_P, "bw6_761_fq")
 
 
 # Multiplicative generators & two-adicity (for NTT domains), matching the

@@ -284,12 +284,15 @@ class Groth16:
             g1_scalars = (
                 gamma_abc_s + l_s + u + v + h_s + [alpha, beta, delta]
             )
-            g1_pts = g1_eng.mul_ints_host(g1_scalars)
+            # CRS stays resident on device (projective dicts) — the prover
+            # MSMs consume it directly; only the handful of vk scalars is
+            # decoded to host affine.
+            g1_pts = g1_eng.mul_ints(g1_scalars)
             off = 0
 
             def take(k):
                 nonlocal off
-                out = g1_pts[off : off + k]
+                out = {c: v_[off : off + k] for c, v_ in g1_pts.items()}
                 off += k
                 return out
 
@@ -298,10 +301,12 @@ class Groth16:
             a_query = take(nv)
             b_g1_query = take(nv)
             h_query = take(d - 1)
-            alpha_g1, beta_g1, delta_g1 = take(3)
-            g2_pts = g2_eng.mul_ints_host(v + [beta, gamma, delta])
-            b_g2_query = g2_pts[:nv]
-            beta_g2, gamma_g2, delta_g2 = g2_pts[nv:]
+            alpha_g1, beta_g1, delta_g1 = ctx.g1_dev.decode_points(take(3))
+            g2_pts = g2_eng.mul_ints(v + [beta, gamma, delta])
+            b_g2_query = {c: v_[:nv] for c, v_ in g2_pts.items()}
+            beta_g2, gamma_g2, delta_g2 = ctx.g2_dev.decode_points(
+                {c: v_[nv:] for c, v_ in g2_pts.items()}
+            )
         else:
             g1_tab = FixedBaseTable(ctx.g1.add, ctx.g1.generator, r.bit_length())
             g2_tab = FixedBaseTable(ctx.g2_dev.host_add, ctx.g2_gen, r.bit_length())
@@ -369,11 +374,18 @@ class Groth16:
         msm1 = ctx._msm_g1
         msm2 = ctx._msm_g2
         g1 = ctx.g1
+        def _n_points(q):
+            return int(q["x"].shape[0]) if isinstance(q, dict) else len(q)
+
         a_acc = msm1.run(pk.a_query, z)
         b2_acc = msm2.run(pk.b_g2_query, z)
         b1_acc = msm1.run(pk.b_g1_query, z)
-        l_acc = msm1.run(pk.l_query, z[qap.ni :]) if pk.l_query else None
-        h_acc = msm1.run(pk.h_query, h_can) if pk.h_query else None
+        l_acc = (
+            msm1.run(pk.l_query, z[qap.ni :]) if _n_points(pk.l_query) else None
+        )
+        h_acc = (
+            msm1.run(pk.h_query, h_can) if _n_points(pk.h_query) else None
+        )
 
         # ---- assemble (host point algebra)
         A = g1.add(g1.add(self._vk_alpha(pk), a_acc), g1.mul(rr, pk.delta_g1))
@@ -394,10 +406,22 @@ class Groth16:
         """e(A,B) == e(alpha,beta) * e(acc,gamma) * e(C,delta)."""
         ctx = self.ctx
         g1 = ctx.g1
-        assert len(public_inputs) == len(vk.gamma_abc_g1) - 1, "input length"
-        acc = vk.gamma_abc_g1[0]
-        for x, base in zip(public_inputs, vk.gamma_abc_g1[1:]):
-            acc = g1.add(acc, g1.mul(x % ctx.r, base))
+        if isinstance(vk.gamma_abc_g1, dict):
+            # device-resident CRS (large circuits): the public-input
+            # accumulation is itself an MSM — run it on device
+            nabc = int(vk.gamma_abc_g1["x"].shape[0])
+            assert len(public_inputs) == nabc - 1, "input length"
+            first = ctx.g1_dev.decode_points(
+                {k: v[:1] for k, v in vk.gamma_abc_g1.items()}
+            )[0]
+            rest = {k: v[1:] for k, v in vk.gamma_abc_g1.items()}
+            acc = ctx._msm_g1.run(rest, [x % ctx.r for x in public_inputs])
+            acc = g1.add(first, acc)
+        else:
+            assert len(public_inputs) == len(vk.gamma_abc_g1) - 1, "input length"
+            acc = vk.gamma_abc_g1[0]
+            for x, base in zip(public_inputs, vk.gamma_abc_g1[1:]):
+                acc = g1.add(acc, g1.mul(x % ctx.r, base))
         eng = ctx.pairing
         lhs = eng.multi_pairing(
             [

@@ -92,13 +92,45 @@ class FixedBaseDevice:
             k = half
         return jax.tree.map(lambda a: a[0], pts)
 
-    def mul_ints(self, scalars):
-        """Host ints -> device point batch (projective)."""
+    CHUNK = 1 << 17
+
+    def mul_ints(self, scalars, pad_pow2: bool = True):
+        """Host ints -> device point batch (projective).
+
+        Work is chunked (CHUNK scalars per dispatch): the gathered
+        (K, N) point tree peaks at K*N*3 coordinate planes, which at CRS
+        scale (millions of elements) would blow HBM unchunked.  Padding
+        to the chunk multiple / power of two keeps the compiled add-tree
+        at one shape (zero scalars multiply to identity and are sliced
+        off)."""
+        n = len(scalars)
         L = -(-self.bits // LIMB_BITS)
         r = self.dev.host_curve.order if self.dev.host_curve else None
-        arr = ints_to_limbs([s if r is None else s % r for s in scalars], L)
-        digits = digits_from_limbs(jnp.asarray(arr), self.c, self.K)
-        return self._mul_batch(digits)
+        vals = [s if r is None else s % r for s in scalars]
+        chunk = self.CHUNK
+        if n > chunk:
+            pad_to = -(-n // chunk) * chunk
+        elif pad_pow2 and n & (n - 1):
+            pad_to = 1 << n.bit_length()
+        else:
+            pad_to = n
+        vals = vals + [0] * (pad_to - n)
+        arr = ints_to_limbs(vals, L)
+        outs = []
+        for lo in range(0, pad_to, chunk):
+            part = jnp.asarray(arr[lo : lo + chunk])
+            digits = digits_from_limbs(part, self.c, self.K)
+            outs.append(self._mul_batch(digits))
+        out = (
+            outs[0]
+            if len(outs) == 1
+            else {
+                k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
+            }
+        )
+        if pad_to != n:
+            out = {k: v[:n] for k, v in out.items()}
+        return out
 
     def mul_ints_host(self, scalars):
         """Host ints -> list of affine host points (decode included)."""

@@ -91,12 +91,31 @@ class MSM:
         acc = dev.identity((K, nb))
         acc = {k: v + vzero for k, v in acc.items()}
 
+        # Pack all coordinate limbs of a point into ONE row padded to a
+        # multiple of 128 lanes: the bucket loop's gathers then fetch
+        # whole 512B-aligned register rows instead of 96B limb rows —
+        # the gather (not the EC math) dominates the loop otherwise.
+        coord_shapes = {k: points[k].shape[1:] for k in ("x", "y", "z")}
+        flat_parts = [points[k].reshape(N, -1) for k in ("x", "y", "z")]
+        widths = [p.shape[1] for p in flat_parts]
+        total_w = sum(widths)
+        pad_w = (-total_w) % 128
+        if pad_w:
+            flat_parts.append(
+                jnp.zeros((N, pad_w), dtype=flat_parts[0].dtype)
+            )
+        packed = jnp.concatenate(flat_parts, axis=1)  # (N, 128k)
+
         def gather_points(flat_idx):
-            return {
-                "x": jnp.take(points["x"], flat_idx, axis=0),
-                "y": jnp.take(points["y"], flat_idx, axis=0),
-                "z": jnp.take(points["z"], flat_idx, axis=0),
-            }
+            rows = jnp.take(packed, flat_idx, axis=0)
+            out = {}
+            off = 0
+            for k, wdt in zip(("x", "y", "z"), widths):
+                out[k] = rows[:, off : off + wdt].reshape(
+                    (rows.shape[0],) + coord_shapes[k]
+                )
+                off += wdt
+            return out
 
         def body(carry):
             s, acc = carry
@@ -136,10 +155,15 @@ class MSM:
         return total  # leading axis K
 
     # ---------------------------------------------------------------- host
-    def run(self, points, scalars):
+    def run(self, points, scalars, pad_pow2: bool = True):
         """points: device batch (leading N) or list of affine tuples;
         scalars: (N, L) device limbs (canonical) or list of host ints.
         Returns the MSM result as a host affine point (or None).
+
+        pad_pow2 pads N up to a power of two with zero scalars (digit 0
+        contributes no bucket work) so different query sizes share ONE
+        compiled bucket-phase program — compiles through the axon relay
+        cost minutes each, real at proving scale.
         """
         dev = self.dev
         if isinstance(points, (list, tuple)):
@@ -149,6 +173,16 @@ class MSM:
 
             L = -(-self.scalar_bits // LIMB_BITS)
             scalars = jnp.asarray(ints_to_limbs(scalars, L))
+        n = scalars.shape[0]
+        if pad_pow2 and n & (n - 1):
+            npad = 1 << n.bit_length()
+            scalars = jnp.pad(scalars, ((0, npad - n), (0, 0)))
+            points = {
+                k: jnp.pad(
+                    v, ((0, npad - n),) + ((0, 0),) * (v.ndim - 1)
+                )
+                for k, v in points.items()
+            }
         digits = digits_from_limbs(scalars, self.c, self.K)
         windows = self._bucket_phase(points, digits)
         wpts = dev.decode_points(windows)

@@ -49,13 +49,18 @@ class NTT:
         self.omega_inv = pow(w, -1, F.p)
         self.n_inv = pow(n, -1, F.p)
         # per-stage twiddles (Montgomery), stage s has block m=2^(s+1) and
-        # uses w_m^j, j in [0, m/2)
+        # uses w_m^j, j in [0, m/2).  Tables, the bit-reversal permutation
+        # and 1/n are passed to the jitted kernels as runtime ARGUMENTS —
+        # closure constants would be serialized into the XLA program
+        # (hundreds of MB at n=2^22, over the remote-compile size limit).
         self._tw_fwd = self._stage_twiddles(w)
         self._tw_inv = self._stage_twiddles(self.omega_inv)
         self._brev = jnp.asarray(_bit_reverse_perm(n))
         self._n_inv_m = jnp.asarray(F.encode(self.n_inv))
-        self.forward = jax.jit(self._forward_impl)
-        self.inverse = jax.jit(self._inverse_impl)
+        self._fwd_jit = jax.jit(self._butterflies_args)
+        self._inv_jit = jax.jit(self._inverse_args)
+        self._fwd_b_jit = jax.jit(self._butterflies_batched_args)
+        self._inv_b_jit = jax.jit(self._inverse_batched_args)
 
     def _stage_twiddles(self, w_root: int):
         F, n, p = self.F, self.n, self.F.p
@@ -69,7 +74,21 @@ class NTT:
             tables.append(jnp.asarray(F.encode(tw)))  # (m/2, L) Mont
         return tables
 
-    def _butterflies(self, a, tables):
+    def _butterflies_args(self, a, tables, brev):
+        return self._butterflies(a, tables, brev)
+
+    def _inverse_args(self, a, tables, brev, n_inv_m):
+        out = self._butterflies(a, tables, brev)
+        return self.F._mul_impl(out, n_inv_m[None, :])
+
+    def _butterflies_batched_args(self, a, tables, brev):
+        return self._butterflies_batched(a, tables, brev)
+
+    def _inverse_batched_args(self, a, tables, brev, n_inv_m):
+        out = self._butterflies_batched(a, tables, brev)
+        return self.F._mul_impl(out, n_inv_m[None, None, :])
+
+    def _butterflies(self, a, tables, brev=None):
         """a: (n, L) Montgomery; applies all stages after bit-reversal.
 
         Every stage's twiddle multiply is flattened to the same (n/2, L)
@@ -79,7 +98,9 @@ class NTT:
         of log2(n) distinct shapes.
         """
         F, n = self.F, self.n
-        a = jnp.take(a, self._brev, axis=0)
+        if brev is None:
+            brev = self._brev
+        a = jnp.take(a, brev, axis=0)
         for s in range(self.logn):
             m = 1 << (s + 1)
             half = m // 2
@@ -95,18 +116,27 @@ class NTT:
             a = jnp.stack([hi, lo], axis=1).reshape(n, F.L)
         return a
 
-    def _forward_impl(self, a):
+    def forward(self, a):
         """Coefficients -> evaluations at the n-th roots (natural order)."""
+        return self._fwd_jit(a, tuple(self._tw_fwd), self._brev)
+
+    def inverse(self, a):
+        """Evaluations -> coefficients."""
+        return self._inv_jit(a, tuple(self._tw_inv), self._brev, self._n_inv_m)
+
+    def _forward_impl(self, a):
         return self._butterflies(a, self._tw_fwd)
 
-    def _butterflies_batched(self, a, tables):
+    def _butterflies_batched(self, a, tables, brev=None):
         """(B, n, L) batch of transforms along axis 1 (same stage pipeline,
         multiplies flattened to (B*n/2, L) so the device kernel sees one
         shape).  Used by the four-step distributed NTT for its local
         column/row transforms."""
         F, n = self.F, self.n
         B = a.shape[0]
-        a = jnp.take(a, self._brev, axis=1)
+        if brev is None:
+            brev = self._brev
+        a = jnp.take(a, brev, axis=1)
         for s in range(self.logn):
             m = 1 << (s + 1)
             half = m // 2
@@ -123,12 +153,24 @@ class NTT:
         return a
 
     def forward_batched(self, a):
-        """(B, n, L) -> (B, n, L), DFT along axis 1 (natural order)."""
-        return self._butterflies_batched(a, self._tw_fwd)
+        """(B, n, L) -> (B, n, L), DFT along axis 1 (natural order).
+
+        When called inside an outer trace (e.g. the four-step shard_map),
+        the tables come from the enclosing scope; standalone calls go
+        through the args-jit so tables stay runtime inputs."""
+        import jax.core
+
+        if isinstance(a, jax.core.Tracer):
+            return self._butterflies_batched(a, self._tw_fwd)
+        return self._fwd_b_jit(a, tuple(self._tw_fwd), self._brev)
 
     def inverse_batched(self, a):
-        out = self._butterflies_batched(a, self._tw_inv)
-        return self.F._mul_impl(out, self._n_inv_m[None, None, :])
+        import jax.core
+
+        if isinstance(a, jax.core.Tracer):
+            out = self._butterflies_batched(a, self._tw_inv)
+            return self.F._mul_impl(out, self._n_inv_m[None, None, :])
+        return self._inv_b_jit(a, tuple(self._tw_inv), self._brev, self._n_inv_m)
 
     def _inverse_impl(self, a):
         """Evaluations -> coefficients."""

@@ -79,3 +79,19 @@ def test_groth16_proof_is_randomized_but_stable_inputs():
     assert p1.a != p2.a  # fresh (r, s) per proof
     assert eng.verify(vk, cs.public_inputs(), p1)
     assert eng.verify(vk, cs.public_inputs(), p2)
+
+
+def test_groth16_device_crs_roundtrip():
+    """engine='device' setup (batched fixed-base CRS, device-resident
+    queries) proves + verifies like the host engine."""
+    rng = random.Random(9)
+    eng = Groth16("bls12_381")
+    cs = toy_circuit(eng.ctx.r)
+    pk, vk = eng.setup(cs, rng, engine="device")
+    assert isinstance(pk.a_query, dict)
+    proof = eng.prove(pk, cs, rng)
+    inputs = cs.public_inputs()
+    assert eng.verify(vk, inputs, proof)
+    bad = list(inputs)
+    bad[0] = (bad[0] + 1) % eng.ctx.r
+    assert not eng.verify(vk, bad, proof)
