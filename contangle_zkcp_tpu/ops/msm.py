@@ -63,14 +63,83 @@ class MSM:
         self.c = c
         self.scalar_bits = scalar_bits
         self.K = -(-scalar_bits // c)
+        # distinct digit values per window: the top window only spans the
+        # leftover scalar bits.  Its buckets would concentrate N/m_top
+        # points each and blow up the lockstep loop's trip count, so the
+        # host schedule ALIASES each real bucket b across the window's
+        # unused lane space (positions j*m + b), and the device folds the
+        # aliases back with masked halving adds before the weighted
+        # reduction (static structure — m_k depends only on bits/c).
+        self.window_m = [
+            1 << min(c, scalar_bits - k * c) for k in range(self.K)
+        ]
         self._bucket_phase = jax.jit(self._bucket_phase_impl)
+        self._bucket_sched = jax.jit(self._bucket_scheduled_impl)
+
+    # ---------------------------------------------------------- scheduling
+    def host_schedule(self, scalars_limbs):
+        """Numpy bucket schedule: (order, start, cnt) host arrays.
+
+        The device argsort of (K, N) digit rows was both slow (bitonic
+        sort ~N log^2 N) and crash-prone at 2^20; when the scalars are
+        host-known — every MSM except the in-flight H query — the
+        schedule is a cheap numpy radix sort."""
+        arr = np.asarray(scalars_limbs)
+        K, c = self.K, self.c
+        N = arr.shape[0]
+        nb = 1 << c
+        order = np.empty((K, N), dtype=np.int32)
+        start = np.empty((K, nb), dtype=np.int32)
+        cnt = np.empty((K, nb), dtype=np.int32)
+        padded = np.concatenate(
+            [arr, np.zeros((N, 1), dtype=arr.dtype)], axis=1
+        )
+        for k in range(K):
+            bit = k * c
+            li, off = bit // LIMB_BITS, bit % LIMB_BITS
+            d = padded[:, li] >> off
+            if off:
+                d = d | (padded[:, li + 1] << (LIMB_BITS - off))
+            d = (d & (nb - 1)).astype(np.uint32)
+            order[k] = np.argsort(d, kind="stable")
+            counts = np.bincount(d, minlength=nb).astype(np.int32)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(
+                np.int32
+            )
+            m = self.window_m[k]
+            A = nb // m  # alias slots per real bucket
+            if A == 1:
+                cnt[k] = counts
+                start[k] = starts
+            else:
+                # spread bucket b's run over lanes j*m + b, j < A
+                for b in range(m):
+                    tot = int(counts[b])
+                    chunk = -(-tot // A) if tot else 0
+                    pos = int(starts[b])
+                    left = tot
+                    for j in range(A):
+                        take = min(chunk, left)
+                        lane = j * m + b
+                        start[k, lane] = pos
+                        cnt[k, lane] = take
+                        pos += take
+                        left -= take
+        cnt[:, 0] = 0  # digit 0 contributes nothing
+        # alias lanes of bucket 0 contribute nothing either
+        for k in range(K):
+            m = self.window_m[k]
+            if m < nb:
+                cnt[k, m::m] = 0
+        return order, start, cnt
 
     # -------------------------------------------------------------- device
     def _bucket_phase_impl(self, points, digits):
         """points: {x,y,z} with leading N axis; digits: (K, N) uint32.
 
-        Returns window sums: point batch with leading K axis.
-        """
+        Returns window sums: point batch with leading K axis.  Device
+        argsort scheduling — used by the sharded path where digits live
+        on-device; the single-chip `run` uses `host_schedule`."""
         dev, c, K = self.dev, self.c, self.K
         nb = 1 << c
         N = digits.shape[1]
@@ -83,11 +152,19 @@ class MSM:
         cnt = end - start  # (K, nb)
         # exclude bucket 0 from any work (digit 0 contributes nothing)
         cnt = cnt.at[:, 0].set(0)
+        return self._bucket_loop(points, order, start, cnt, N)
+
+    def _bucket_scheduled_impl(self, points, order, start, cnt):
+        return self._bucket_loop(points, order, start, cnt, order.shape[1])
+
+    def _bucket_loop(self, points, order, start, cnt, N):
+        dev, c, K = self.dev, self.c, self.K
+        nb = 1 << c
         max_cnt = jnp.max(cnt)
 
         # data-derived zero keeps loop carries "varying" under shard_map
         # (a replicated init vs varying body output is a type error)
-        vzero = (digits[0, 0] * 0).astype(jnp.uint32)
+        vzero = (order[0, 0] * 0).astype(jnp.uint32)
         acc = dev.identity((K, nb))
         acc = {k: v + vzero for k, v in acc.items()}
 
@@ -136,6 +213,31 @@ class MSM:
 
         _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc))
 
+        # fold alias lanes (j*m + b -> b) with masked halving adds; lanes
+        # >= m_k are reset to the identity so the weighted reduction sees
+        # zero contribution from them
+        min_m = min(self.window_m)
+        w = nb
+        while w // 2 >= min_m and w > 1:
+            half = w // 2
+            mask = jnp.asarray(
+                np.array(
+                    [[m <= half] for m in self.window_m], dtype=bool
+                )
+            )  # (K, 1): window still has aliases beyond `half`
+            lo = {k2: v[:, :half] for k2, v in acc.items()}
+            hi = {k2: v[:, half:w] for k2, v in acc.items()}
+            ident = dev.identity((K, half))
+            folded_lo = dev.select(mask, dev.add(lo, hi), lo)
+            folded_hi = dev.select(mask, ident, hi)
+            acc = {
+                k2: jnp.concatenate(
+                    [folded_lo[k2], folded_hi[k2], acc[k2][:, w:]], axis=1
+                )
+                for k2 in acc
+            }
+            w = half
+
         # weighted bucket reduction sum_b b*S_b via the classic running-sum
         # recurrence (fori_loop keeps the traced graph to 2 EC adds; the K
         # windows still add in parallel lanes):
@@ -183,8 +285,12 @@ class MSM:
                 )
                 for k, v in points.items()
             }
-        digits = digits_from_limbs(scalars, self.c, self.K)
-        windows = self._bucket_phase(points, digits)
+        order, start, cnt = self.host_schedule(
+            np.asarray(jax.device_get(scalars))
+        )
+        windows = self._bucket_sched(
+            points, jnp.asarray(order), jnp.asarray(start), jnp.asarray(cnt)
+        )
         wpts = dev.decode_points(windows)
         return self._combine_host(wpts)
 

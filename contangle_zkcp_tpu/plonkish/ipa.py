@@ -49,12 +49,15 @@ class IPA:
         self.G = [_hash_to_point(b"contangle-ipa-g", i) for i in range(n)]
         self.U = _hash_to_point(b"contangle-ipa-u", 0)
         self._msm = None
+        self._dev = None
+        self._G_dev = None
         if use_device_msm:
             from ..curves.weierstrass import SWDevice
             from ..ops.msm import MSM
 
-            dev = SWDevice(fi.pasta_fq(), CURVE)
-            self._msm = MSM(dev, scalar_bits=SCALAR_P.bit_length(), c=8)
+            self._dev = SWDevice(fi.pasta_fq(), CURVE)
+            self._msm = MSM(self._dev, scalar_bits=SCALAR_P.bit_length(), c=8)
+            self._G_dev = self._dev.encode_points(self.G)
 
     # ------------------------------------------------------------ commit
     def _msm_run(self, points, scalars):
@@ -62,6 +65,15 @@ class IPA:
         if self._msm is not None and len(points) >= 256:
             return self._msm.run(list(points), scalars)
         return msm_host(CURVE, points, scalars)
+
+    def _msm_dev(self, pts_dev, scalars):
+        """MSM over an on-device point dict slice."""
+        n = int(pts_dev["x"].shape[0])
+        if self._msm is not None and n >= 256:
+            return self._msm.run(pts_dev, [s % SCALAR_P for s in scalars])
+        return msm_host(
+            CURVE, self._dev.decode_points(pts_dev), scalars
+        )
 
     def commit(self, coeffs):
         assert len(coeffs) <= self.n
@@ -80,22 +92,36 @@ class IPA:
         return bytes([2 + (P[1] & 1)]) + P[0].to_bytes(32, "big")
 
     def open(self, coeffs, x: int):
-        """Prove p(x) = v for the committed coefficients."""
+        """Prove p(x) = v for the committed coefficients.
+
+        With the device engine, the generator vector stays resident on
+        device across the log-n folding rounds (each fold is two batched
+        fixed-scalar ladders + one fused add); the round-1 version folded
+        G with per-element host scalar muls — ~n*log(n) host EC ops,
+        hopeless at halo2's k=12."""
         p = SCALAR_P
         a = list(coeffs) + [0] * (self.n - len(coeffs))
         b = [pow(x, i, p) for i in range(self.n)]
-        G = list(self.G)
+        use_dev = self._dev is not None and self.n >= 1024
+        G = None if use_dev else list(self.G)
+        G_dev = dict(self._G_dev) if use_dev else None
         transcript = self._pt_bytes(self.commit(coeffs)) + x.to_bytes(32, "big")
         rounds = []
         while len(a) > 1:
             h = len(a) // 2
             a_lo, a_hi = a[:h], a[h:]
             b_lo, b_hi = b[:h], b[h:]
-            G_lo, G_hi = G[:h], G[h:]
             vL = sum(ai * bi for ai, bi in zip(a_lo, b_hi)) % p
             vR = sum(ai * bi for ai, bi in zip(a_hi, b_lo)) % p
-            L = CURVE.add(self._msm_run(G_hi, a_lo), CURVE.mul(vL, self.U))
-            R = CURVE.add(self._msm_run(G_lo, a_hi), CURVE.mul(vR, self.U))
+            if use_dev:
+                G_lo = {k: v[:h] for k, v in G_dev.items()}
+                G_hi = {k: v[h:] for k, v in G_dev.items()}
+                L = CURVE.add(self._msm_dev(G_hi, a_lo), CURVE.mul(vL, self.U))
+                R = CURVE.add(self._msm_dev(G_lo, a_hi), CURVE.mul(vR, self.U))
+            else:
+                G_lo, G_hi = G[:h], G[h:]
+                L = CURVE.add(self._msm_run(G_hi, a_lo), CURVE.mul(vL, self.U))
+                R = CURVE.add(self._msm_run(G_lo, a_hi), CURVE.mul(vR, self.U))
             transcript = hashlib.sha256(
                 transcript + self._pt_bytes(L) + self._pt_bytes(R)
             ).digest()
@@ -103,10 +129,30 @@ class IPA:
             ui = pow(u, -1, p)
             a = [(lo * u + hi * ui) % p for lo, hi in zip(a_lo, a_hi)]
             b = [(lo * ui + hi * u) % p for lo, hi in zip(b_lo, b_hi)]
-            G = [
-                CURVE.add(CURVE.mul(ui, gl), CURVE.mul(u, gh))
-                for gl, gh in zip(G_lo, G_hi)
-            ]
+            if use_dev:
+                import numpy as np
+                import jax.numpy as jnp
+
+                nb = SCALAR_P.bit_length()
+                bits_ui = jnp.asarray(
+                    np.array([(ui >> i) & 1 for i in range(nb)], np.uint32)
+                )
+                bits_u = jnp.asarray(
+                    np.array([(u >> i) & 1 for i in range(nb)], np.uint32)
+                )
+                folded = self._dev.add(
+                    self._dev.scalar_mul_bits(G_lo, bits_ui),
+                    self._dev.scalar_mul_bits(G_hi, bits_u),
+                )
+                G_dev = folded
+                if h < 256:  # tail rounds on host (few points left)
+                    use_dev = False
+                    G = self._dev.decode_points(G_dev)
+            else:
+                G = [
+                    CURVE.add(CURVE.mul(ui, gl), CURVE.mul(u, gh))
+                    for gl, gh in zip(G_lo, G_hi)
+                ]
             rounds.append((L, R))
         return IpaProof(rounds=rounds, a_final=a[0])
 

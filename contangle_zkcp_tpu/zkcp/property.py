@@ -135,7 +135,10 @@ class ZkPropertyVerifier:
         return cipher_bytes, ProofOfProperty(proof=proof_bytes, arguments=args)
 
     def verify_proof(self, pop: ProofOfProperty, ciphertext_bytes: bytes) -> bool:
-        cipher = ciphertext_from_bytes(ciphertext_bytes, self.params)
+        try:
+            cipher = ciphertext_from_bytes(ciphertext_bytes, self.params)
+        except SerializationError:
+            return False  # malformed ciphertext can't satisfy any proof
         enc_inputs = elgamal.public_inputs(self.params, cipher)
         # circom public wires (dummy circuit: none) then encryption inputs
         inputs = list(enc_inputs)

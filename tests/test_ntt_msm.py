@@ -103,3 +103,24 @@ def test_msm_g2():
     for P, s in zip(base, scalars):
         exp = dev.host_add(exp, dev.host_mul(s, P))
     assert got == exp
+
+
+def test_msm_alias_spread_top_window():
+    """c=12 leaves a 3-bit top window (255 = 21*12 + 3): its buckets are
+    alias-spread by the host schedule and folded on device — the config
+    that previously exploded the lockstep trip count."""
+    import random
+
+    from contangle_zkcp_tpu.curves import instances as ci
+    from contangle_zkcp_tpu.curves.weierstrass import SWDevice
+    from contangle_zkcp_tpu.fields import instances as fi
+    from contangle_zkcp_tpu.ops.msm import MSM, msm_host
+
+    C = ci.BLS12_381_G1
+    dev = SWDevice(fi.bls12_381_fq(), C)
+    rng = random.Random(99)
+    n = 64
+    pts = [C.mul(rng.randrange(1, C.order), C.generator) for _ in range(n)]
+    scalars = [rng.randrange(C.order) for _ in range(n)]
+    msm = MSM(dev, scalar_bits=255, c=12)
+    assert msm.run(pts, scalars) == msm_host(C, pts, scalars)
