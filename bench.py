@@ -27,11 +27,11 @@ def main():
     from contangle_zkcp_tpu.fields import instances as fi
     from contangle_zkcp_tpu.ops.msm import MSM, digits_from_limbs
 
-    # defaults chosen to stay under the axon relay's apparent execution
-    # watchdog (long single executions have crashed the remote worker;
-    # see memory/axon-tpu-environment)
-    log2n = int(os.environ.get("BENCH_MSM_LOG2", "15"))
-    c = int(os.environ.get("BENCH_MSM_C", "8"))
+    # defaults: the headline config (alias-spread schedule keeps the
+    # bucket loop's trip count ~N/2^c regardless of the top window, and
+    # the compiled program for this shape is in the persistent cache)
+    log2n = int(os.environ.get("BENCH_MSM_LOG2", "22"))
+    c = int(os.environ.get("BENCH_MSM_C", "12"))
     n = 1 << log2n
 
     Fq = fi.bls12_381_fq()

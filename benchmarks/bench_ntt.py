@@ -35,16 +35,18 @@ def main():
     a[:, -1] = 0
     a_d = jnp.asarray(a)
 
+    # eng.forward passes twiddles/permutation as runtime args (baked
+    # constants exceed the remote-compile size limit at 2^22); chain
+    # forward calls — each output feeds the next, one final host fetch
     def chained(a, iters):
         for _ in range(iters):
-            a = eng._forward_impl(a)
+            a = eng.forward(a)
         return a
 
-    run = jax.jit(chained, static_argnums=1)
-    out = run(a_d, iters)
+    out = chained(a_d, iters)
     _ = jax.device_get(out[0, 0])  # compile + warm
     t0 = time.time()
-    out = run(a_d, iters)
+    out = chained(a_d, iters)
     _ = jax.device_get(out[0, 0])
     dt = (time.time() - t0) / iters
     print(

@@ -60,7 +60,29 @@ class CurveCtx:
         bits = self.r.bit_length()
         self._msm_g1 = MSM(self.g1_dev, scalar_bits=bits, c=8)
         self._msm_g2 = MSM(self.g2_dev, scalar_bits=bits, c=8)
+        self._msm_cache = {}
         self.Fr = fi.get_field(self.r, f"{self.name}_fr")
+
+    def msm_g1(self, n: int) -> MSM:
+        return self._msm_for("g1", n)
+
+    def msm_g2(self, n: int) -> MSM:
+        return self._msm_for("g2", n)
+
+    def _msm_for(self, group: str, n: int) -> MSM:
+        """Window size by MSM size: wide windows (c=12) amortize at scale
+        (the bucket loop's trip count is ~N/2^c under alias spreading),
+        narrow ones keep small/test-size programs cheap to compile."""
+        c = 12 if n >= (1 << 16) else 8
+        if c == 8:
+            return self._msm_g1 if group == "g1" else self._msm_g2
+        key = (group, c)
+        if key not in self._msm_cache:
+            dev = self.g1_dev if group == "g1" else self.g2_dev
+            self._msm_cache[key] = MSM(
+                dev, scalar_bits=self.r.bit_length(), c=c
+            )
+        return self._msm_cache[key]
 
 
 _CTX = {}
@@ -371,20 +393,24 @@ class Groth16:
         h_can = Fr.from_mont(h)[: d - 1]
 
         # ---- MSMs on device
-        msm1 = ctx._msm_g1
-        msm2 = ctx._msm_g2
         g1 = ctx.g1
         def _n_points(q):
             return int(q["x"].shape[0]) if isinstance(q, dict) else len(q)
 
+        msm1 = ctx.msm_g1(_n_points(pk.a_query))
+        msm2 = ctx.msm_g2(_n_points(pk.b_g2_query))
         a_acc = msm1.run(pk.a_query, z)
         b2_acc = msm2.run(pk.b_g2_query, z)
         b1_acc = msm1.run(pk.b_g1_query, z)
         l_acc = (
-            msm1.run(pk.l_query, z[qap.ni :]) if _n_points(pk.l_query) else None
+            ctx.msm_g1(_n_points(pk.l_query)).run(pk.l_query, z[qap.ni :])
+            if _n_points(pk.l_query)
+            else None
         )
         h_acc = (
-            msm1.run(pk.h_query, h_can) if _n_points(pk.h_query) else None
+            ctx.msm_g1(_n_points(pk.h_query)).run(pk.h_query, h_can)
+            if _n_points(pk.h_query)
+            else None
         )
 
         # ---- assemble (host point algebra)
@@ -415,7 +441,9 @@ class Groth16:
                 {k: v[:1] for k, v in vk.gamma_abc_g1.items()}
             )[0]
             rest = {k: v[1:] for k, v in vk.gamma_abc_g1.items()}
-            acc = ctx._msm_g1.run(rest, [x % ctx.r for x in public_inputs])
+            acc = ctx.msm_g1(nabc - 1).run(
+                rest, [x % ctx.r for x in public_inputs]
+            )
             acc = g1.add(first, acc)
         else:
             assert len(public_inputs) == len(vk.gamma_abc_g1) - 1, "input length"
