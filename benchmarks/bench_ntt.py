@@ -53,12 +53,14 @@ def main():
         f"forward 2^{log2n}: {dt*1e3:.1f} ms  {n/dt/1e6:.1f} M elems/s"
     )
 
-    # exactness spot-check at small n (forward o inverse == id) on-device
-    small = NTT(F, 1 << 10)
-    b = jnp.asarray(a[: 1 << 10])
+    # exactness spot-check at small n (forward o inverse == id) on-device;
+    # 2^12 >= 4096 exercises the fused-butterfly lane pipeline on-chip
+    small = NTT(F, 1 << 12)
+    b = jnp.asarray(a[: 1 << 12])
     rt = small.inverse(small.forward(b))
-    ok = bool((np.asarray(jax.device_get(rt)) == a[: 1 << 10]).all())
-    print("roundtrip exact (2^10):", ok)
+    ok = bool((np.asarray(jax.device_get(rt)) == a[: 1 << 12]).all())
+    print("roundtrip exact (2^12, lane pipeline):", ok)
+    assert ok
 
 
 if __name__ == "__main__":

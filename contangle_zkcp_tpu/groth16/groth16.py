@@ -302,7 +302,10 @@ class Groth16:
 
             bits = r.bit_length()
             g1_eng = FixedBaseDevice(ctx.g1_dev, ctx.g1.generator, bits)
-            g2_eng = FixedBaseDevice(ctx.g2_dev, ctx.g2_gen, bits)
+            # G2 (Fq2 coordinates) roughly triples the per-add graph; the
+            # 2^17-lane chunk that suits G1 OOM-kills the remote compile
+            # helper — smaller dispatches, same single compiled program
+            g2_eng = FixedBaseDevice(ctx.g2_dev, ctx.g2_gen, bits, chunk=1 << 14)
             g1_scalars = (
                 gamma_abc_s + l_s + u + v + h_s + [alpha, beta, delta]
             )

@@ -33,10 +33,12 @@ from .msm import digits_from_limbs
 class FixedBaseDevice:
     """Device windowed fixed-base multiplier for one base point."""
 
-    def __init__(self, dev: SWDevice, base, bits: int, c: int = 8):
+    def __init__(self, dev: SWDevice, base, bits: int, c: int = 8, chunk: int | None = None):
         self.dev = dev
         self.c = c
         self.bits = bits
+        if chunk is not None:
+            self.CHUNK = chunk
         self.K = -(-bits // c)
         # host: build the K x 2^c window table (exact Python ints)
         add = dev.host_add

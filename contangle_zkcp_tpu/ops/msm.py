@@ -75,6 +75,7 @@ class MSM:
         ]
         self._bucket_phase = jax.jit(self._bucket_phase_impl)
         self._bucket_sched = jax.jit(self._bucket_scheduled_impl)
+        self._tree_rows = jax.jit(self._tree_rows_impl)
 
     # ---------------------------------------------------------- scheduling
     def host_schedule(self, scalars_limbs):
@@ -238,23 +239,149 @@ class MSM:
             }
             w = half
 
-        # weighted bucket reduction sum_b b*S_b via the classic running-sum
-        # recurrence (fori_loop keeps the traced graph to 2 EC adds; the K
-        # windows still add in parallel lanes):
-        #   for b = nb-1 .. 1: running += S_b; total += running
-        running = {k: v + vzero for k, v in dev.identity((K,)).items()}
-        total = {k: v + vzero for k, v in dev.identity((K,)).items()}
+        # weighted bucket reduction sum_b b*S_b, two-level: write the
+        # digit b = hi*H + lo (H = 2^(c/2)), so
+        #   sum_b b*S_b = H * sum_hi hi*T_hi + sum_lo lo*U_lo,
+        #   T_hi = sum_lo S_(hi,lo)  (log-depth tree over the lo axis),
+        #   U_lo = sum_hi S_(hi,lo)  (tree over the hi axis),
+        # and each small weighted sum runs the classic running-sum
+        # recurrence at sqrt(nb) sequential trips instead of nb — 30x
+        # fewer sequential EC adds at c=12, and c=16 stays tractable.
+        cl = c // 2
+        ch = c - cl
+        G, Hf = 1 << ch, 1 << cl
+        grid = {k: v.reshape((K, G, Hf) + v.shape[2:]) for k, v in acc.items()}
 
-        def rbody(i, carry):
-            running, total = carry
-            b = nb - 1 - i
-            Sb = {k: jax.lax.dynamic_index_in_dim(acc[k], b, axis=1, keepdims=False) for k in acc}
-            running = dev.add(running, Sb)
-            total = dev.add(total, running)
-            return (running, total)
+        def tree_sum(pts, axis_len, merge_axis):
+            t = axis_len
+            while t > 1:
+                half = t // 2
+                lo_ = {
+                    k: jax.lax.slice_in_dim(v, 0, half, axis=merge_axis)
+                    for k, v in pts.items()
+                }
+                hi_ = {
+                    k: jax.lax.slice_in_dim(v, half, t, axis=merge_axis)
+                    for k, v in pts.items()
+                }
+                pts = dev.add(lo_, hi_)
+                t = half
+            return {
+                k: jnp.squeeze(v, axis=merge_axis) for k, v in pts.items()
+            }
 
-        _, total = jax.lax.fori_loop(0, nb - 1, rbody, (running, total))
-        return total  # leading axis K
+        T_hi = tree_sum(grid, Hf, 2)  # (K, G): sum over lo
+        U_lo = tree_sum(grid, G, 1)  # (K, Hf): sum over hi
+
+        def weighted(S, nb_):
+            running = {
+                k: v + vzero for k, v in dev.identity((K,)).items()
+            }
+            total = {k: v + vzero for k, v in dev.identity((K,)).items()}
+
+            def rbody(i, carry):
+                running, total = carry
+                b = nb_ - 1 - i
+                Sb = {
+                    k: jax.lax.dynamic_index_in_dim(
+                        S[k], b, axis=1, keepdims=False
+                    )
+                    for k in S
+                }
+                running = dev.add(running, Sb)
+                total = dev.add(total, running)
+                return (running, total)
+
+            _, total = jax.lax.fori_loop(0, nb_ - 1, rbody, (running, total))
+            return total
+
+        s_hi = weighted(T_hi, G)
+        s_lo = weighted(U_lo, Hf)
+        for _ in range(cl):  # s_hi *= H
+            s_hi = dev.add(s_hi, s_hi)
+        return dev.add(s_hi, s_lo)  # leading axis K
+
+    # ------------------------------------------------------ heavy buckets
+    # Real witness vectors are nothing like uniform: R1CS assignments are
+    # dominated by 0/1 bits and small bytes, so a handful of low-window
+    # buckets (e.g. digit 1 of window 0) can hold ~half of all points.
+    # The lockstep loop's trip count equals the max bucket occupancy —
+    # ~100k sequential trips at n=49152, which blows the relay's dispatch
+    # watchdog.  A bucket's contribution is just a SUM of its points, so
+    # over-occupied buckets are peeled out of the schedule host-side and
+    # tree-reduced on device in log depth; their sums re-enter the window
+    # totals before the Horner combine.
+    HEAVY_CNT = 512  # loop trips beyond this are peeled into tree sums
+    TREE_CHUNK = 8192  # points per tree row (13 add levels)
+    TREE_ROWS = 8  # rows batched per dispatch
+
+    def _tree_rows_impl(self, points, idx, valid):
+        """idx, valid: (R, T) -> (R,) per-row point sums (projective)."""
+        dev = self.dev
+        R, T = idx.shape
+        pts = {
+            k: jnp.take(points[k], idx.reshape(-1), axis=0)
+            for k in ("x", "y", "z")
+        }
+        pts = dev.select(valid.reshape(-1), pts, dev.identity((R * T,)))
+        pts = jax.tree.map(lambda a: a.reshape((R, T) + a.shape[1:]), pts)
+        t = T
+        while t > 1:
+            half = t // 2
+            lo = jax.tree.map(
+                lambda a: a[:, :half].reshape((R * half,) + a.shape[2:]), pts
+            )
+            hi = jax.tree.map(
+                lambda a: a[:, half:t].reshape((R * half,) + a.shape[2:]), pts
+            )
+            s = dev.add(lo, hi)
+            pts = jax.tree.map(lambda a: a.reshape((R, half) + a.shape[1:]), s)
+            t = half
+        return jax.tree.map(lambda a: a[:, 0], pts)
+
+    def _extract_heavy(self, points, order, start, cnt):
+        """Peel buckets with cnt > HEAVY_CNT: tree-sum their points on
+        device, zero them in the schedule, return [(window, bucket_weight,
+        host_point)] corrections.  Mutates cnt in place."""
+        heavy = np.argwhere(cnt > self.HEAVY_CNT)
+        if not len(heavy):
+            return []
+        T, R = self.TREE_CHUNK, self.TREE_ROWS
+        rows = []
+        for k, lane in heavy:
+            s0, n0 = int(start[k, lane]), int(cnt[k, lane])
+            idxs = order[k, s0 : s0 + n0]
+            for lo in range(0, n0, T):
+                rows.append((int(k), int(lane), idxs[lo : lo + T]))
+            cnt[k, lane] = 0
+        sums = {}
+        for lo in range(0, len(rows), R):
+            batch = rows[lo : lo + R]
+            idx = np.zeros((R, T), dtype=np.int32)
+            valid = np.zeros((R, T), dtype=bool)
+            for i, (_, _, ids) in enumerate(batch):
+                idx[i, : len(ids)] = ids
+                valid[i, : len(ids)] = True
+            out = self._tree_rows(points, jnp.asarray(idx), jnp.asarray(valid))
+            host_pts = self.dev.decode_points(out)
+            for i, (k, lane, _) in enumerate(batch):
+                sums[(k, lane)] = self.dev.host_add(
+                    sums.get((k, lane)), host_pts[i]
+                )
+        return [
+            (k, lane % self.window_m[k], pt)
+            for (k, lane), pt in sums.items()
+            if pt is not None
+        ]
+
+    def _host_mul_small(self, w: int, P):
+        add = self.dev.host_add
+        acc = None
+        for bit in reversed(range(w.bit_length())):
+            acc = add(acc, acc)
+            if (w >> bit) & 1:
+                acc = add(acc, P)
+        return acc
 
     # ---------------------------------------------------------------- host
     def run(self, points, scalars, pad_pow2: bool = True):
@@ -288,11 +415,17 @@ class MSM:
         order, start, cnt = self.host_schedule(
             np.asarray(jax.device_get(scalars))
         )
+        heavy = self._extract_heavy(points, order, start, cnt)
         windows = self._bucket_sched(
             points, jnp.asarray(order), jnp.asarray(start), jnp.asarray(cnt)
         )
         wpts = dev.decode_points(windows)
-        return self._combine_host(wpts)
+        res = self._combine_host(wpts)
+        for k, b, pt in heavy:
+            res = dev.host_add(
+                res, self._host_mul_small(b << (k * self.c), pt)
+            )
+        return res
 
     def _combine_host(self, wpts):
         """Horner combine of the K window sums: sum_k 2^(kc) W_k."""

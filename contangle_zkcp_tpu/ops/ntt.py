@@ -55,12 +55,17 @@ class NTT:
         # (hundreds of MB at n=2^22, over the remote-compile size limit).
         self._tw_fwd = self._stage_twiddles(w)
         self._tw_inv = self._stage_twiddles(self.omega_inv)
+        # lane-major copies for the fused-butterfly Pallas pipeline
+        self._tw_fwd_t = [t.T for t in self._tw_fwd]
+        self._tw_inv_t = [t.T for t in self._tw_inv]
         self._brev = jnp.asarray(_bit_reverse_perm(n))
         self._n_inv_m = jnp.asarray(F.encode(self.n_inv))
         self._fwd_jit = jax.jit(self._butterflies_args)
         self._inv_jit = jax.jit(self._inverse_args)
         self._fwd_b_jit = jax.jit(self._butterflies_batched_args)
         self._inv_b_jit = jax.jit(self._inverse_batched_args)
+        self._fwd_lanes_jit = jax.jit(self._fwd_lanes_args)
+        self._inv_lanes_jit = jax.jit(self._inv_lanes_args)
 
     def _stage_twiddles(self, w_root: int):
         F, n, p = self.F, self.n, self.F.p
@@ -116,12 +121,66 @@ class NTT:
             a = jnp.stack([hi, lo], axis=1).reshape(n, F.L)
         return a
 
+    # ------------------------------------------------- lane-major pipeline
+    def _use_lanes(self) -> bool:
+        from ..fields.fp import _use_pallas
+
+        return self.n >= 4096 and self.n % 4096 == 0 and _use_pallas()
+
+    def _butterflies_lanes(self, at, tables_t, brev, eng, interpret=False):
+        """at: (L, n) lane-major Montgomery.  Each stage is ONE fused
+        Pallas butterfly call (mul+add+sub in VMEM) — no per-stage layout
+        transposes and no XLA add/sub HBM round-trips.  All stages share
+        the (L, n/2) operand shape, so one compiled kernel serves the
+        whole transform."""
+        F, n = self.F, self.n
+        L = F.L
+        at = jnp.take(at, brev, axis=1)
+        for s in range(self.logn):
+            m = 1 << (s + 1)
+            half = m // 2
+            blk = at.reshape(L, n // m, 2, half)
+            u = blk[:, :, 0].reshape(L, n // 2)
+            v = blk[:, :, 1].reshape(L, n // 2)
+            tw = jnp.broadcast_to(
+                tables_t[s][:, None, :], (L, n // m, half)
+            ).reshape(L, n // 2)
+            hi, lo = eng.butterfly_t(u, v, tw, interpret=interpret)
+            at = jnp.stack(
+                [hi.reshape(L, n // m, half), lo.reshape(L, n // m, half)],
+                axis=2,
+            ).reshape(L, n)
+        return at
+
+    def _lanes_engine(self):
+        from . import pallas_mont
+
+        return pallas_mont.get_engine(self.F)
+
+    def _fwd_lanes_args(self, a, tables_t, brev):
+        out = self._butterflies_lanes(a.T, tables_t, brev, self._lanes_engine())
+        return out.T
+
+    def _inv_lanes_args(self, a, tables_t, brev, n_inv_m):
+        eng = self._lanes_engine()
+        out = self._butterflies_lanes(a.T, tables_t, brev, eng)
+        scaled = eng.mul_t(
+            out, jnp.broadcast_to(n_inv_m[:, None], out.shape)
+        )
+        return scaled.T
+
     def forward(self, a):
         """Coefficients -> evaluations at the n-th roots (natural order)."""
+        if self._use_lanes():
+            return self._fwd_lanes_jit(a, tuple(self._tw_fwd_t), self._brev)
         return self._fwd_jit(a, tuple(self._tw_fwd), self._brev)
 
     def inverse(self, a):
         """Evaluations -> coefficients."""
+        if self._use_lanes():
+            return self._inv_lanes_jit(
+                a, tuple(self._tw_inv_t), self._brev, self._n_inv_m
+            )
         return self._inv_jit(a, tuple(self._tw_inv), self._brev, self._n_inv_m)
 
     def _forward_impl(self, a):

@@ -196,6 +196,57 @@ class MontMulLanes:
             interpret=interpret,
         )(self._p, self._np, at, bt)
 
+    # ------------------------------------------------------- NTT butterfly
+    def _bf_kernel(
+        self, p_ref, np_ref, u_ref, v_ref, tw_ref, hi_ref, lo_ref, c_ref, t_ref
+    ):
+        p = p_ref[...]
+        u = u_ref[...]
+        vw = mont_mul_kernel_body(
+            p, np_ref[...], v_ref[...], tw_ref[...], c_ref, t_ref, self.L
+        )
+        # hi = u + vw mod p  (sum < 2p fits L limbs for all our moduli)
+        t = _ks_resolve_rows(u + vw)
+        d, nb = _ks_sub_rows(t, p)
+        hi_ref[...] = jnp.where(_bcast_rows(nb != 0, d.shape), d, t)
+        # lo = u - vw mod p  via u + (p - vw), p - vw exact (vw < p)
+        pm, _ = _ks_sub_rows(p, vw)
+        t2 = _ks_resolve_rows(u + pm)
+        d2, nb2 = _ks_sub_rows(t2, p)
+        lo_ref[...] = jnp.where(_bcast_rows(nb2 != 0, d2.shape), d2, t2)
+
+    @functools.partial(jax.jit, static_argnums=0, static_argnames="interpret")
+    def butterfly_t(self, ut, vt, twt, interpret=False):
+        """Fused NTT butterfly, all operands (L, N) lane-major Montgomery:
+        returns (u + v*tw mod p, u - v*tw mod p) in one VMEM pass — the
+        radix-2 stage's multiply/add/sub never round-trips to HBM
+        separately, and no layout transposes occur per stage."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        L, T = self.L, self.lane_tile
+        N = ut.shape[1]
+        assert N % T == 0, (N, T)
+        grid = (N // T,)
+        spec = pl.BlockSpec((L, T), lambda i: (0, i), memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((L, T), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        rows = 2 * L + 1
+        return pl.pallas_call(
+            self._bf_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((L, N), _U32),
+                jax.ShapeDtypeStruct((L, N), _U32),
+            ),
+            grid=grid,
+            in_specs=[cspec, cspec, spec, spec, spec],
+            out_specs=(spec, spec),
+            scratch_shapes=[
+                pltpu.VMEM((rows, T), _U32),
+                pltpu.VMEM((rows, T), _U32),
+            ],
+            interpret=interpret,
+        )(self._p, self._np, ut, vt, twt)
+
     def mul(self, a, b, interpret=False):
         """Drop-in (..., L) multiply: transpose, tile-pad, kernel, restore."""
         L, T = self.L, self.lane_tile

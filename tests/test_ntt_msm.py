@@ -124,3 +124,27 @@ def test_msm_alias_spread_top_window():
     scalars = [rng.randrange(C.order) for _ in range(n)]
     msm = MSM(dev, scalar_bits=255, c=12)
     assert msm.run(pts, scalars) == msm_host(C, pts, scalars)
+
+
+def test_msm_heavy_bucket_peeling():
+    """Witness-like skewed scalars (mostly 0/1 bits): over-occupied buckets
+    are peeled out of the lockstep schedule and tree-reduced on device.
+    Thresholds shrunk so the peel path actually triggers at test size."""
+    C = ci.BLS12_381_G1
+    dev = SWDevice(fi.bls12_381_fq(), C)
+    rng = random.Random(41)
+    n = 64
+    pts = [C.mul(rng.randrange(1, C.order), C.generator) for _ in range(n)]
+    # ~half the scalars are exactly 1 -> window-0 bucket 1 holds ~32 points
+    scalars = [
+        1 if rng.random() < 0.5 else rng.randrange(C.order) for _ in range(n)
+    ]
+    m = MSM(dev, scalar_bits=255, c=8)
+    m.HEAVY_CNT = 4
+    m.TREE_CHUNK = 8
+    m.TREE_ROWS = 2
+    got = m.run(pts, scalars)
+    assert got == msm_host(C, pts, scalars)
+    # and with peeling left at defaults (no trigger) the answer agrees too
+    m2 = MSM(dev, scalar_bits=255, c=8)
+    assert m2.run(pts, scalars) == got

@@ -68,3 +68,49 @@ def test_lanes_kernel_broadcast_and_ndim():
     c = rng.randrange(F.p)
     got = F.decode(eng.mul(a, F.encode(c), interpret=True))
     assert got == [(x * c) % F.p for x in xs]
+
+
+def test_butterfly_kernel_matches_host():
+    """Fused NTT butterfly (u + v*tw, u - v*tw) vs host ints, interpret
+    lowering, incl. vw == 0 and wraparound edges."""
+    import jax.numpy as jnp
+
+    from contangle_zkcp_tpu.ops import pallas_mont
+
+    F = fi.bls12_381_fr()
+    eng = pallas_mont.MontMulLanes(F, lane_tile=128)
+    rng = random.Random(555)
+    n = 128
+    us = [rng.randrange(F.p) for _ in range(n - 3)] + [0, F.p - 1, 1]
+    vs = [rng.randrange(F.p) for _ in range(n - 3)] + [0, F.p - 1, 0]
+    tws = [rng.randrange(F.p) for _ in range(n - 3)] + [1, F.p - 1, 5]
+    ut = jnp.asarray(F.encode(us)).T
+    vt = jnp.asarray(F.encode(vs)).T
+    twt = jnp.asarray(F.encode(tws)).T
+    hi, lo = eng.butterfly_t(ut, vt, twt, interpret=True)
+    got_hi, got_lo = F.decode(hi.T), F.decode(lo.T)
+    for i in range(n):
+        vw = vs[i] * tws[i] % F.p  # encode/decode carry the R factors
+        assert got_hi[i] == (us[i] + vw) % F.p
+        assert got_lo[i] == (us[i] - vw) % F.p
+
+
+def test_ntt_lanes_pipeline_matches_xla():
+    """Lane-major fused-butterfly NTT == the XLA stage pipeline."""
+    import jax.numpy as jnp
+
+    from contangle_zkcp_tpu.ops import pallas_mont
+    from contangle_zkcp_tpu.ops.ntt import NTT
+
+    F = fi.bls12_381_fr()
+    n = 256
+    eng = pallas_mont.MontMulLanes(F, lane_tile=128)
+    ntt = NTT(F, n)
+    rng = random.Random(77)
+    coeffs = [rng.randrange(F.p) for _ in range(n)]
+    a = jnp.asarray(F.encode(coeffs))
+    want = F.decode(ntt._fwd_jit(a, tuple(ntt._tw_fwd), ntt._brev))
+    got = ntt._butterflies_lanes(
+        a.T, tuple(ntt._tw_fwd_t), ntt._brev, eng, interpret=True
+    )
+    assert F.decode(got.T) == want
