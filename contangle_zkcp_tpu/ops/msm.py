@@ -311,9 +311,18 @@ class MSM:
     # over-occupied buckets are peeled out of the schedule host-side and
     # tree-reduced on device in log depth; their sums re-enter the window
     # totals before the Horner combine.
-    HEAVY_CNT = 512  # loop trips beyond this are peeled into tree sums
+    HEAVY_CNT = 512  # floor for the peel threshold
+    HEAVY_FACTOR = 2  # peel buckets beyond FACTOR * mean occupancy
     TREE_CHUNK = 8192  # points per tree row (13 add levels)
     TREE_ROWS = 8  # rows batched per dispatch
+
+    def _heavy_thresh(self, n_points: int) -> int:
+        """Peel threshold: scales with the mean bucket occupancy so a
+        uniform-scalar MSM (max ~= mean + 3 sigma < 2*mean) never peels,
+        while witness-skewed buckets (~n/2 points in one bucket) always
+        do.  The floor keeps tiny MSMs on the pure lockstep path."""
+        mean = -(-n_points // (1 << self.c))
+        return max(self.HEAVY_CNT, self.HEAVY_FACTOR * mean)
 
     def _tree_rows_impl(self, points, idx, valid):
         """idx, valid: (R, T) -> (R,) per-row point sums (projective)."""
@@ -343,7 +352,7 @@ class MSM:
         """Peel buckets with cnt > HEAVY_CNT: tree-sum their points on
         device, zero them in the schedule, return [(window, bucket_weight,
         host_point)] corrections.  Mutates cnt in place."""
-        heavy = np.argwhere(cnt > self.HEAVY_CNT)
+        heavy = np.argwhere(cnt > self._heavy_thresh(order.shape[1]))
         if not len(heavy):
             return []
         T, R = self.TREE_CHUNK, self.TREE_ROWS
