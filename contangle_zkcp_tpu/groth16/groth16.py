@@ -27,6 +27,7 @@ from ..curves.host import SWCurve
 from ..curves import pairing as pairing_mod
 from ..curves.weierstrass import SWDevice
 from ..fields import instances as fi
+from ..utils import metrics
 from ..fields.bigint import LIMB_BITS
 from ..ops.msm import MSM
 from ..ops.ntt import NTT
@@ -261,6 +262,7 @@ class Groth16:
         self.ctx = curve_ctx(curve)
 
     # ------------------------------------------------------------- setup
+    @metrics.timed("groth16.setup")
     def setup(self, cs: ConstraintSystem, rng: random.Random, engine: str = "auto"):
         """CRS generation.
 
@@ -368,6 +370,7 @@ class Groth16:
         return pk, vk
 
     # ------------------------------------------------------------- prove
+    @metrics.timed("groth16.prove")
     def prove(self, pk: ProvingKey, cs: ConstraintSystem, rng: random.Random):
         ctx = self.ctx
         r = ctx.r
@@ -431,6 +434,7 @@ class Groth16:
         return pk.vk.alpha_g1
 
     # ------------------------------------------------------------ verify
+    @metrics.timed("groth16.verify")
     def verify(self, vk: VerifyingKey, public_inputs, proof: Proof) -> bool:
         """e(A,B) == e(alpha,beta) * e(acc,gamma) * e(C,delta)."""
         ctx = self.ctx

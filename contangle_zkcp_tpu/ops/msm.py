@@ -32,6 +32,7 @@ import numpy as np
 
 from ..fields.bigint import LIMB_BITS
 from ..curves.weierstrass import SWDevice
+from ..utils import metrics
 
 
 def digits_from_limbs(scalars, c: int, num_windows: int):
@@ -425,6 +426,8 @@ class MSM:
             np.asarray(jax.device_get(scalars))
         )
         heavy = self._extract_heavy(points, order, start, cnt)
+        metrics.count("msm.points", n)
+        metrics.gauge("msm.heavy_buckets", len(heavy))
         windows = self._bucket_sched(
             points, jnp.asarray(order), jnp.asarray(start), jnp.asarray(cnt)
         )

@@ -10,6 +10,7 @@ from __future__ import annotations
 import asyncio
 from dataclasses import dataclass
 
+from ..utils import metrics
 from ..circuits import elgamal
 from ..curves import instances as ci
 from ..utils.errors import ProtocolError
@@ -43,9 +44,11 @@ class Buyer:
             backend=cfg.zk.backend,
         )
 
+    @metrics.timed("buyer.step0_verify")
     def step0_verify(self, ve: VerifiableEncryption) -> bool:
         return self.data_encryption.verify_proof(ve)
 
+    @metrics.timed("buyer.step2")
     def step2(self, encrypted_key: bytes, proof: bytes, one_time_pk, addr_to: bytes, amount: float):
         """Verify the key-encryption PoE, compose the payment tx, produce
         the adaptor pre-signature under the seller's one-time pk."""

@@ -16,6 +16,7 @@ from ..circuits import elgamal
 from ..curves import instances as ci
 from ..utils import serialize as ser
 from ..utils.errors import ProtocolError
+from ..utils import metrics
 from . import secp
 from .config import ZkConfig
 from .verifiable_encryption import VerifiableEncryption, ZkVerifiableEncryption
@@ -63,6 +64,7 @@ class Seller:
         )
 
     # ------------------------------------------------------------- step 0
+    @metrics.timed("seller.step0_setup")
     def step0_setup(self, data: bytes):
         """keygen, cache sk, produce + host the verifiable encryption."""
         sk, pk = self.verifiable_encryption.keygen()
