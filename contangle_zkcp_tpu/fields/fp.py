@@ -155,6 +155,26 @@ class Fp:
         arr = ints_to_limbs(xs, self.L)
         return arr[0] if single else arr
 
+    def encode_u64(self, arr, mont: bool = True):
+        """(N, W) little-endian u64 canonical values -> device limb array.
+
+        Vectorized reinterpretation (u64 words -> 16-bit limbs via a numpy
+        byte view) with the Montgomery conversion as ONE batched device
+        multiply by R^2 — no per-element Python.  Feeds the prover's NTT
+        directly from the native row-eval engine (r1cs/native.py)."""
+        arr = np.ascontiguousarray(np.asarray(arr, dtype="<u8"))
+        n, w = arr.shape
+        limbs16 = arr.view("<u2").reshape(n, 4 * w).astype(np.uint32)
+        if 4 * w < self.L:
+            limbs16 = np.pad(limbs16, ((0, 0), (0, self.L - 4 * w)))
+        elif 4 * w > self.L:
+            assert not limbs16[:, self.L :].any(), "values exceed field width"
+            limbs16 = limbs16[:, : self.L]
+        out = jnp.asarray(limbs16)
+        if mont:
+            out = self.to_mont(out)
+        return out
+
     def decode(self, arr, mont: bool = True):
         """Device limb array -> host ints (flattened over leading axes)."""
         arr = np.asarray(arr)

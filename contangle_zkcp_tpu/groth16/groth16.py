@@ -19,6 +19,7 @@ from __future__ import annotations
 import random
 from dataclasses import dataclass, field
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..curves import instances as ci
@@ -142,11 +143,9 @@ class QAP:
 
         r, d = self.r, self.domain
         if native.available() and r.bit_length() <= 256:
-            a = native.eval_rows(r, self.A, z, d)
-            b = native.eval_rows(r, self.B, z, d)
-            c = native.eval_rows(r, self.C, z, d)
-            if a is not None and b is not None and c is not None:
-                return a, b, c
+            abc = native.eval_rows_abc(r, self.A, self.B, self.C, z, d)
+            if abc is not None:
+                return abc
         a = [0] * d
         b = [0] * d
         c = [0] * d
@@ -157,6 +156,26 @@ class QAP:
         for row, col, coeff in self.C:
             c[row] = (c[row] + coeff * z[col]) % r
         return a, b, c
+
+    def eval_rows_device(self, Fr, z):
+        """(a, b, c) as device Montgomery limb arrays, NTT-ready.
+
+        Native fast path hands raw u64 limb planes straight to the device
+        encoder (no per-element Python ints on the boundary); exact
+        fallback goes through eval_rows + Fr.encode."""
+        from ..r1cs import native
+
+        r, d = self.r, self.domain
+        if native.available() and r.bit_length() <= 256:
+            arrs = native.eval_rows_abc_arr(r, self.A, self.B, self.C, z, d)
+            if arrs is not None:
+                return tuple(Fr.encode_u64(a) for a in arrs)
+        a, b, c = self.eval_rows(z)
+        return (
+            Fr.encode(list(a)),
+            Fr.encode(list(b)),
+            Fr.encode(list(c)),
+        )
 
     def eval_variable_polys(self, tau: int):
         """u_i(tau), v_i(tau), w_i(tau) for every variable (host, setup)."""
@@ -263,12 +282,23 @@ class Groth16:
 
     # ------------------------------------------------------------- setup
     @metrics.timed("groth16.setup")
-    def setup(self, cs: ConstraintSystem, rng: random.Random, engine: str = "auto"):
+    def setup(
+        self,
+        cs: ConstraintSystem,
+        rng: random.Random,
+        engine: str = "auto",
+        debug_trapdoor: bool = False,
+    ):
         """CRS generation.
 
         engine: "host" (serial Python windowed muls — small circuits/
         tests), "device" (batched fixed-base multiplier, ops/fixed_base.py
         — the scale path), or "auto" (device on TPU or for large CRS).
+
+        debug_trapdoor keeps the toxic waste + QAP evaluations at tau on
+        the ProvingKey (attribute `trapdoor`) so drive scripts can check
+        every prover MSM against its expected scalar (host Fr math) —
+        never enable outside debugging.
         """
         ctx = self.ctx
         r = ctx.r
@@ -367,6 +397,17 @@ class Groth16:
             l_query=l_query,
             domain=d,
         )
+        if debug_trapdoor:
+            pk.trapdoor = {
+                "alpha": alpha,
+                "beta": beta,
+                "gamma": gamma,
+                "delta": delta,
+                "tau": tau,
+                "u": u,
+                "v": v,
+                "w": w,
+            }
         return pk, vk
 
     # ------------------------------------------------------------- prove
@@ -382,11 +423,11 @@ class Groth16:
         # ---- H coefficients via device NTTs over the coset
         d = qap.domain
         ntt = _ntt_engine(Fr, d)
-        a_ev, b_ev, c_ev = qap.eval_rows(z)
+        a_dev, b_dev, c_dev = qap.eval_rows_device(Fr, z)
         g = fi.FIELD_GENERATORS[r]
-        pa = ntt.inverse(_enc(Fr, a_ev))
-        pb = ntt.inverse(_enc(Fr, b_ev))
-        pc = ntt.inverse(_enc(Fr, c_ev))
+        pa = ntt.inverse(a_dev)
+        pb = ntt.inverse(b_dev)
+        pc = ntt.inverse(c_dev)
         ea = ntt.coset_forward(pa, g)
         eb = ntt.coset_forward(pb, g)
         ec = ntt.coset_forward(pc, g)
@@ -405,11 +446,18 @@ class Groth16:
 
         msm1 = ctx.msm_g1(_n_points(pk.a_query))
         msm2 = ctx.msm_g2(_n_points(pk.b_g2_query))
-        a_acc = msm1.run(pk.a_query, z)
-        b2_acc = msm2.run(pk.b_g2_query, z)
-        b1_acc = msm1.run(pk.b_g1_query, z)
+        # encode the assignment once: three MSMs share the same scalar
+        # vector, and the byte-buffer limb conversion is host-serial
+        from ..fields.bigint import ints_to_limbs as _itl
+
+        z_limbs = jnp.asarray(_itl(z, -(-r.bit_length() // 16)))
+        a_acc = msm1.run(pk.a_query, z_limbs)
+        b2_acc = msm2.run(pk.b_g2_query, z_limbs)
+        b1_acc = msm1.run(pk.b_g1_query, z_limbs)
         l_acc = (
-            ctx.msm_g1(_n_points(pk.l_query)).run(pk.l_query, z[qap.ni :])
+            ctx.msm_g1(_n_points(pk.l_query)).run(
+                pk.l_query, z_limbs[qap.ni :]
+            )
             if _n_points(pk.l_query)
             else None
         )
@@ -418,6 +466,15 @@ class Groth16:
             if _n_points(pk.h_query)
             else None
         )
+
+        td = getattr(pk, "trapdoor", None)
+        if td is not None:
+            try:
+                self._debug_check_msms(
+                    td, qap, z, h_can, a_acc, b2_acc, b1_acc, l_acc, h_acc
+                )
+            except Exception as e:  # instrumentation must never kill a run
+                print(f"[trapdoor] check crashed: {e!r}", flush=True)
 
         # ---- assemble (host point algebra)
         A = g1.add(g1.add(self._vk_alpha(pk), a_acc), g1.mul(rr, pk.delta_g1))
@@ -432,6 +489,50 @@ class Groth16:
 
     def _vk_alpha(self, pk):
         return pk.vk.alpha_g1
+
+    def _debug_check_msms(self, td, qap, z, h_can, a_acc, b2_acc, b1_acc, l_acc, h_acc):
+        """Trapdoor-mode stage checks: every prover MSM vs its expected
+        scalar (exact host Fr arithmetic).  Prints one PASS/FAIL line per
+        stage — pinpoints a bad engine without touching pairings."""
+        import jax
+
+        from ..fields.bigint import limbs_to_ints
+
+        ctx = self.ctx
+        r, g1 = ctx.r, ctx.g1
+        tau, alpha, beta, delta = td["tau"], td["alpha"], td["beta"], td["delta"]
+        u, v, w = td["u"], td["v"], td["w"]
+        dinv = pow(delta, -1, r)
+        a_tau = sum(zi * ui for zi, ui in zip(z, u)) % r
+        b_tau = sum(zi * vi for zi, vi in zip(z, v)) % r
+        c_tau = sum(zi * wi for zi, wi in zip(z, w)) % r
+        l_tau = (
+            sum(
+                zi * ((beta * ui + alpha * vi + wi) % r)
+                for zi, ui, vi, wi in zip(
+                    z[qap.ni :], u[qap.ni :], v[qap.ni :], w[qap.ni :]
+                )
+            )
+            * dinv
+            % r
+        )
+        hs = limbs_to_ints(np.asarray(jax.device_get(h_can)))
+        h_tau = 0
+        for c in reversed(hs):
+            h_tau = (h_tau * tau + c) % r
+        z_tau = (pow(tau, qap.domain, r) - 1) % r
+
+        def rep(name, ok):
+            print(f"[trapdoor] {name}: {'PASS' if ok else 'FAIL'}", flush=True)
+
+        rep("qap_identity h(t)Z(t)==a(t)b(t)-c(t)",
+            h_tau * z_tau % r == (a_tau * b_tau - c_tau) % r)
+        rep("msm_a", a_acc == g1.mul(a_tau, g1.generator))
+        rep("msm_b_g1", b1_acc == g1.mul(b_tau, g1.generator))
+        g2d = ctx.g2_dev
+        rep("msm_b_g2", b2_acc == g2d.host_mul(b_tau, ctx.g2_gen))
+        rep("msm_l", l_acc == g1.mul(l_tau, g1.generator))
+        rep("msm_h", h_acc == g1.mul(h_tau * z_tau % r * dinv % r, g1.generator))
 
     # ------------------------------------------------------------ verify
     @metrics.timed("groth16.verify")

@@ -35,6 +35,13 @@ from ..curves.weierstrass import SWDevice
 from ..utils import metrics
 
 
+def _backend() -> str:
+    try:
+        return jax.default_backend()
+    except Exception:
+        return "cpu"
+
+
 def digits_from_limbs(scalars, c: int, num_windows: int):
     """(N, L) canonical (non-Montgomery) limbs -> (K, N) c-bit digits.
 
@@ -174,18 +181,29 @@ class MSM:
         # multiple of 128 lanes: the bucket loop's gathers then fetch
         # whole 512B-aligned register rows instead of 96B limb rows —
         # the gather (not the EC math) dominates the loop otherwise.
-        coord_shapes = {k: points[k].shape[1:] for k in ("x", "y", "z")}
-        flat_parts = [points[k].reshape(N, -1) for k in ("x", "y", "z")]
-        widths = [p.shape[1] for p in flat_parts]
-        total_w = sum(widths)
-        pad_w = (-total_w) % 128
-        if pad_w:
-            flat_parts.append(
-                jnp.zeros((N, pad_w), dtype=flat_parts[0].dtype)
-            )
-        packed = jnp.concatenate(flat_parts, axis=1)  # (N, 128k)
+        # TPU only: XLA:CPU segfaults compiling the packed formulation
+        # (observed crashes in backend_compile_and_load / serialize on
+        # the bucket program; tests/conftest.py note), so CPU keeps the
+        # plain per-coordinate gathers.
+        use_packed = _backend() == "tpu"
+        if use_packed:
+            coord_shapes = {k: points[k].shape[1:] for k in ("x", "y", "z")}
+            flat_parts = [points[k].reshape(N, -1) for k in ("x", "y", "z")]
+            widths = [p.shape[1] for p in flat_parts]
+            total_w = sum(widths)
+            pad_w = (-total_w) % 128
+            if pad_w:
+                flat_parts.append(
+                    jnp.zeros((N, pad_w), dtype=flat_parts[0].dtype)
+                )
+            packed = jnp.concatenate(flat_parts, axis=1)  # (N, 128k)
 
         def gather_points(flat_idx):
+            if not use_packed:
+                return {
+                    k: jnp.take(points[k], flat_idx, axis=0)
+                    for k in ("x", "y", "z")
+                }
             rows = jnp.take(packed, flat_idx, axis=0)
             out = {}
             off = 0
@@ -393,6 +411,25 @@ class MSM:
                 acc = add(acc, P)
         return acc
 
+    # bound on the packed gather SOURCE buffer (bytes).  At 2^30 bytes the
+    # bucket loop's gather goes wrong on TPU: G2 at N=2^20 (1KB packed
+    # rows = exactly 2^30) returned wrong window sums while the identical
+    # program at 2^18 and G1 at 2^20 (2^29) were exact — consistent with
+    # int32 byte-offset arithmetic inside the lowered gather.  MSMs whose
+    # source would exceed this are split into power-of-two chunks that
+    # share one compiled program; partial results host-add.
+    MAX_GATHER_BYTES = 1 << 29
+
+    def _chunk_rows(self, points) -> int:
+        """Largest power-of-two row count whose packed source stays under
+        MAX_GATHER_BYTES."""
+        row = sum(
+            int(np.prod(points[k].shape[1:])) for k in ("x", "y", "z")
+        )
+        row_bytes = (-(-row // 128) * 128) * 4  # padded to 128 lanes, u32
+        limit = max(1, self.MAX_GATHER_BYTES // row_bytes)
+        return 1 << (limit.bit_length() - 1)
+
     # ---------------------------------------------------------------- host
     def run(self, points, scalars, pad_pow2: bool = True):
         """points: device batch (leading N) or list of affine tuples;
@@ -413,6 +450,17 @@ class MSM:
             L = -(-self.scalar_bits // LIMB_BITS)
             scalars = jnp.asarray(ints_to_limbs(scalars, L))
         n = scalars.shape[0]
+        chunk = self._chunk_rows(points)
+        if n > chunk:
+            res = None
+            for lo in range(0, n, chunk):
+                part = self.run(
+                    {k: v[lo : lo + chunk] for k, v in points.items()},
+                    scalars[lo : lo + chunk],
+                    pad_pow2=True,
+                )
+                res = dev.host_add(res, part)
+            return res
         if pad_pow2 and n & (n - 1):
             npad = 1 << n.bit_length()
             scalars = jnp.pad(scalars, ((0, npad - n), (0, 0)))

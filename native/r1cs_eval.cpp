@@ -13,6 +13,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 typedef unsigned __int128 u128;
 
@@ -113,6 +115,87 @@ void r1cs_eval_rows(const uint64_t *p_limbs, const uint64_t *r2_limbs,
     mont_mul(prod, coeffs + 4 * k, zm + 4 * cols[k], &f);
     add_mod(out + 4 * rows[k], out + 4 * rows[k], prod, f.p);
   }
+  delete[] zm;
+}
+
+// Three-matrix evaluation sharing one z->Montgomery conversion, threaded.
+//
+// rows of each COO must be sorted ascending (the r1cs builder emits rows
+// in constraint order; QAP appends its input-consistency rows at the end,
+// preserving order) — thread partitions are aligned to row boundaries so
+// writers never share a row.  The Python bridge falls back to
+// r1cs_eval_rows when its sortedness check fails.
+static void eval_span(const Fp256 *f, const uint32_t *rows,
+                      const uint32_t *cols, const uint64_t *coeffs,
+                      int64_t lo, int64_t hi, const uint64_t *zm,
+                      uint64_t *out) {
+  uint64_t prod[4];
+  for (int64_t k = lo; k < hi; ++k) {
+    mont_mul(prod, coeffs + 4 * k, zm + 4 * cols[k], f);
+    add_mod(out + 4 * rows[k], out + 4 * rows[k], prod, f->p);
+  }
+}
+
+void r1cs_eval_abc(const uint64_t *p_limbs, const uint64_t *r2_limbs,
+                   uint64_t n0inv,
+                   const uint32_t *rowsA, const uint32_t *colsA,
+                   const uint64_t *coefA, int64_t nnzA,
+                   const uint32_t *rowsB, const uint32_t *colsB,
+                   const uint64_t *coefB, int64_t nnzB,
+                   const uint32_t *rowsC, const uint32_t *colsC,
+                   const uint64_t *coefC, int64_t nnzC,
+                   const uint64_t *z, int64_t nz,
+                   uint64_t *outA, uint64_t *outB, uint64_t *outC,
+                   int64_t nrows, int64_t nthreads) {
+  Fp256 f;
+  memcpy(f.p, p_limbs, 32);
+  memcpy(f.r2, r2_limbs, 32);
+  f.n0inv = n0inv;
+  if (nthreads < 1) nthreads = 1;
+
+  uint64_t *zm = new uint64_t[nz * 4];
+  {
+    std::vector<std::thread> ts;
+    int64_t step = (nz + nthreads - 1) / nthreads;
+    for (int64_t t = 0; t < nthreads; ++t) {
+      int64_t lo = t * step, hi = lo + step < nz ? lo + step : nz;
+      if (lo >= hi) break;
+      ts.emplace_back([&, lo, hi] {
+        for (int64_t i = lo; i < hi; ++i)
+          mont_mul(zm + 4 * i, z + 4 * i, f.r2, &f);
+      });
+    }
+    for (auto &t : ts) t.join();
+  }
+
+  memset(outA, 0, (size_t)nrows * 32);
+  memset(outB, 0, (size_t)nrows * 32);
+  memset(outC, 0, (size_t)nrows * 32);
+
+  struct Mat {
+    const uint32_t *rows, *cols;
+    const uint64_t *coefs;
+    int64_t nnz;
+    uint64_t *out;
+  } mats[3] = {{rowsA, colsA, coefA, nnzA, outA},
+               {rowsB, colsB, coefB, nnzB, outB},
+               {rowsC, colsC, coefC, nnzC, outC}};
+
+  std::vector<std::thread> ts;
+  for (auto &m : mats) {
+    if (!m.nnz) continue;
+    int64_t step = (m.nnz + nthreads - 1) / nthreads;
+    int64_t lo = 0;
+    while (lo < m.nnz) {
+      int64_t hi = lo + step < m.nnz ? lo + step : m.nnz;
+      // advance hi to the next row boundary so rows never straddle threads
+      while (hi < m.nnz && m.rows[hi] == m.rows[hi - 1]) ++hi;
+      ts.emplace_back(eval_span, &f, m.rows, m.cols, m.coefs, lo, hi, zm,
+                      m.out);
+      lo = hi;
+    }
+  }
+  for (auto &t : ts) t.join();
   delete[] zm;
 }
 

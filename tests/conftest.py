@@ -27,9 +27,16 @@ jax.config.update("jax_platforms", "cpu")
 # test processes so only the first-ever run pays.
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# READ-ONLY cache policy: XLA:CPU's `executable.serialize()` segfaults
+# deterministically on the current MSM bucket program (reproduced on a
+# fresh cache dir — jaxlib bug, crash inside put_executable_and_time),
+# so tests only consume pre-existing entries and never write.  Changed
+# programs recompile per run; that is slow but cannot take the
+# interpreter down mid-suite.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-try:
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
-except Exception:
-    pass
+# NOTE: do NOT enable jax_persistent_cache_enable_xla_caches="all" here.
+# The embedded XLA:CPU AOT kernel cache pins host CPU features into the
+# entry (observed: "+prefer-no-scatter ... doesn't match the machine"
+# loader errors) and its zstd serialization aborted the interpreter
+# mid-write twice (Fatal Python error in put_executable_and_time).

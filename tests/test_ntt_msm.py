@@ -148,3 +148,30 @@ def test_msm_heavy_bucket_peeling():
     # and with peeling left at defaults (no trigger) the answer agrees too
     m2 = MSM(dev, scalar_bits=255, c=8)
     assert m2.run(pts, scalars) == got
+
+
+def test_msm_gather_chunking():
+    """MSMs whose packed gather source would exceed MAX_GATHER_BYTES are
+    split into power-of-two chunks host-added together (the G2-at-2^20
+    wrong-result workaround).  Forced here at tiny scale."""
+    import random
+
+    from contangle_zkcp_tpu.curves import instances as ci
+    from contangle_zkcp_tpu.curves.weierstrass import SWDevice
+    from contangle_zkcp_tpu.fields import instances as fi
+    from contangle_zkcp_tpu.ops.msm import MSM, msm_host
+
+    C = ci.BLS12_381_G1
+    dev = SWDevice(fi.bls12_381_fq(), C)
+    rng = random.Random(77)
+    n = 24
+    pts = [C.mul(rng.randrange(1, C.order), C.generator) for _ in range(n)]
+    scalars = [rng.randrange(C.order) for _ in range(n)]
+    m = MSM(dev, scalar_bits=255, c=4)
+    assert m._chunk_rows(dev.encode_points(pts)) >= n  # sanity: no split
+    m.MAX_GATHER_BYTES = 8 * 512  # 8 G1 rows -> 4 chunks of 8 (pow2)
+    enc = dev.encode_points(pts)
+    assert m._chunk_rows(enc) == 8
+    got = m.run(enc, scalars)
+    exp = msm_host(C, pts, scalars)
+    assert got == exp
