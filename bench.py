@@ -32,12 +32,13 @@ def main():
     # the compiled program for this shape is in the persistent cache)
     log2n = int(os.environ.get("BENCH_MSM_LOG2", "22"))
     c = int(os.environ.get("BENCH_MSM_C", "12"))
+    signed = os.environ.get("BENCH_MSM_SIGNED", "0") == "1"
     n = 1 << log2n
 
     Fq = fi.bls12_381_fq()
     C = ci.BLS12_381_G1
     dev = SWDevice(Fq, C)
-    msm = MSM(dev, scalar_bits=255, c=c)
+    msm = MSM(dev, scalar_bits=255, c=c, signed=signed)
 
     # synthetic points: random multiples of G materialized cheaply on device
     # (one batched scalar-mul), random 255-bit scalars
@@ -54,14 +55,28 @@ def main():
     raw[:, -1] &= 0x7FFF
     scalars = jnp.asarray(raw)
 
-    order, start, cnt = msm.host_schedule(np.asarray(scalars))
-    order_d, start_d, cnt_d = (
-        jnp.asarray(order),
-        jnp.asarray(start),
-        jnp.asarray(cnt),
-    )
+    # split into the same power-of-two chunks MSM.run uses, so the timed
+    # program is the production one AND the packed gather source stays
+    # under MAX_GATHER_BYTES (2^22 G1 rows = 2^31 bytes unchunked, past
+    # the bound where the bucket gather goes wrong; ops/msm.py note).
+    chunk = min(n, msm._chunk_rows(points))
+    scal_np = np.asarray(scalars)
+    parts = []
+    for lo in range(0, n, chunk):
+        pc = {k: v[lo : lo + chunk] for k, v in points.items()}
+        if signed:
+            order, start, cnt, sgn = msm.host_schedule_signed(
+                scal_np[lo : lo + chunk]
+            )
+            sgn_d = jnp.asarray(sgn)
+        else:
+            order, start, cnt = msm.host_schedule(scal_np[lo : lo + chunk])
+            sgn_d = None
+        parts.append(
+            (pc, jnp.asarray(order), jnp.asarray(start), jnp.asarray(cnt), sgn_d)
+        )
 
-    def chained(points, order, start, cnt, iters):
+    def chained(parts, iters):
         # serialize iterations through a REAL device-side data dependency
         # (a runtime-opaque zero from the previous output added to the
         # counts) so XLA cannot CSE the iterations into one, and a single
@@ -69,15 +84,25 @@ def main():
         # does not honor block_until_ready reliably).
         dep = jnp.int32(0)
         for _ in range(iters):
-            out = msm._bucket_scheduled_impl(points, order, start, cnt + dep)
-            dep = (out["x"].reshape(-1)[0] & jnp.uint32(0)).astype(jnp.int32)
+            for pc, order, start, cnt, sgn_d in parts:
+                if sgn_d is None:
+                    out = msm._bucket_scheduled_impl(
+                        pc, order, start, cnt + dep
+                    )
+                else:
+                    out = msm._bucket_scheduled_signed_impl(
+                        pc, order, start, cnt + dep, sgn_d
+                    )
+                dep = (out["x"].reshape(-1)[0] & jnp.uint32(0)).astype(
+                    jnp.int32
+                )
         return out
 
     iters = int(os.environ.get("BENCH_MSM_ITERS", "2"))
-    run = jax.jit(chained, static_argnums=4)
-    _ = jax.device_get(run(points, order_d, start_d, cnt_d, iters)["x"][0, 0])
+    run = jax.jit(chained, static_argnums=1)
+    _ = jax.device_get(run(parts, iters)["x"][0, 0])
     t0 = time.time()
-    _ = jax.device_get(run(points, order_d, start_d, cnt_d, iters)["x"][0, 0])
+    _ = jax.device_get(run(parts, iters)["x"][0, 0])
     dt = (time.time() - t0) / iters
     # amortized over `iters` device-chained MSMs with a single host fetch:
     # the relay's dispatch/fetch overhead shrinks to 1/iters of the figure.

@@ -74,15 +74,26 @@ class CurveCtx:
     def _msm_for(self, group: str, n: int) -> MSM:
         """Window size by MSM size: wide windows (c=12) amortize at scale
         (the bucket loop's trip count is ~N/2^c under alias spreading),
-        narrow ones keep small/test-size programs cheap to compile."""
-        c = 12 if n >= (1 << 16) else 8
+        narrow ones keep small/test-size programs cheap to compile.
+        ZKCP_MSM_SIGNED=1 selects the signed-digit engine (half the
+        bucket lanes per window; c=16 spans 255 bits in 16 windows vs 22
+        unsigned — ops/msm.py host_schedule_signed)."""
+        import os
+
+        signed = os.environ.get("ZKCP_MSM_SIGNED", "0") == "1"
+        if signed and n >= (1 << 16):
+            c = int(os.environ.get("ZKCP_MSM_SIGNED_C", "16"))
+        elif n >= (1 << 16):
+            c = 12
+        else:
+            c, signed = 8, False
         if c == 8:
             return self._msm_g1 if group == "g1" else self._msm_g2
-        key = (group, c)
+        key = (group, c, signed)
         if key not in self._msm_cache:
             dev = self.g1_dev if group == "g1" else self.g2_dev
             self._msm_cache[key] = MSM(
-                dev, scalar_bits=self.r.bit_length(), c=c
+                dev, scalar_bits=self.r.bit_length(), c=c, signed=signed
             )
         return self._msm_cache[key]
 

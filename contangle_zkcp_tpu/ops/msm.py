@@ -66,24 +66,46 @@ def digits_from_limbs(scalars, c: int, num_windows: int):
 class MSM:
     """Pippenger engine bound to one SW group (G1 or G2 via SWDevice)."""
 
-    def __init__(self, dev: SWDevice, scalar_bits: int, c: int = 8):
+    def __init__(
+        self, dev: SWDevice, scalar_bits: int, c: int = 8, signed: bool = False
+    ):
         self.dev = dev
         self.c = c
         self.scalar_bits = scalar_bits
-        self.K = -(-scalar_bits // c)
-        # distinct digit values per window: the top window only spans the
-        # leftover scalar bits.  Its buckets would concentrate N/m_top
-        # points each and blow up the lockstep loop's trip count, so the
-        # host schedule ALIASES each real bucket b across the window's
-        # unused lane space (positions j*m + b), and the device folds the
-        # aliases back with masked halving adds before the weighted
-        # reduction (static structure — m_k depends only on bits/c).
-        self.window_m = [
-            1 << min(c, scalar_bits - k * c) for k in range(self.K)
-        ]
+        self.signed = signed
+        if signed:
+            # Signed-digit windows: recode each c-bit digit into
+            # [-2^(c-1), 2^(c-1)-1] with a +1 carry, gather-negating the
+            # point for negative digits (negation is one field neg of y).
+            # Buckets hold |digit| in [1, 2^(c-1)] laid out on lane
+            # |d|-1 — exactly 2^(c-1) lanes, half the unsigned grid, and
+            # ceil((bits+1)/c) windows instead of ceil(bits/c): at c=16
+            # that is K=16 windows vs 22 at the unsigned c=12 optimum —
+            # 27% fewer bucket adds for the same trip structure.
+            self.K = -(-(scalar_bits + 1) // c)
+            self.nb = 1 << (c - 1)
+            leftover = scalar_bits - (self.K - 1) * c
+            m_top = 1 << leftover if leftover > 0 else 1
+            self.window_m = [self.nb] * (self.K - 1) + [min(m_top, self.nb)]
+        else:
+            self.K = -(-scalar_bits // c)
+            self.nb = 1 << c
+            # distinct digit values per window: the top window only spans
+            # the leftover scalar bits.  Its buckets would concentrate
+            # N/m_top points each and blow up the lockstep loop's trip
+            # count, so the host schedule ALIASES each real bucket b
+            # across the window's unused lane space (positions j*m + b),
+            # and the device folds the aliases back with masked halving
+            # adds before the weighted reduction (static structure — m_k
+            # depends only on bits/c).
+            self.window_m = [
+                1 << min(c, scalar_bits - k * c) for k in range(self.K)
+            ]
         self._bucket_phase = jax.jit(self._bucket_phase_impl)
         self._bucket_sched = jax.jit(self._bucket_scheduled_impl)
+        self._bucket_sched_s = jax.jit(self._bucket_scheduled_signed_impl)
         self._tree_rows = jax.jit(self._tree_rows_impl)
+        self._tree_rows_s = jax.jit(self._tree_rows_signed_impl)
 
     # ---------------------------------------------------------- scheduling
     def host_schedule(self, scalars_limbs):
@@ -142,6 +164,73 @@ class MSM:
                 cnt[k, m::m] = 0
         return order, start, cnt
 
+    def host_schedule_signed(self, scalars_limbs):
+        """Signed-digit schedule: (order, start, cnt, sgn) host arrays.
+
+        Digits recode to [-2^(c-1), 2^(c-1)-1] with carry (the top window
+        keeps its positive carry-extended value; leftover <= c-1 bits by
+        the K = ceil((bits+1)/c) choice, so it fits the lane grid).
+        Bucket lane = |d|-1 — every lane carries weight lane+1, there is
+        no dead zero lane, and the grid is exactly 2^(c-1) wide.  `sgn`
+        aligns with `order`: sgn[k, j] is 1 iff the j-th scheduled point
+        of window k enters its bucket negated."""
+        arr = np.asarray(scalars_limbs)
+        K, c, nb = self.K, self.c, self.nb
+        N = arr.shape[0]
+        half = 1 << (c - 1)
+        padded = np.concatenate(
+            [arr.astype(np.int64), np.zeros((N, 2), dtype=np.int64)], axis=1
+        )
+        carry = np.zeros(N, dtype=np.int64)
+        lane = np.empty((K, N), dtype=np.int64)
+        sign = np.empty((K, N), dtype=bool)
+        for k in range(K):
+            bit = k * c
+            li, off = bit // LIMB_BITS, bit % LIMB_BITS
+            d = padded[:, li] >> off
+            if off:
+                d |= padded[:, li + 1] << (LIMB_BITS - off)
+            d = (d & ((1 << c) - 1)) + carry
+            if k < K - 1:
+                hi = d >= half
+                d = np.where(hi, d - (1 << c), d)
+                carry = hi.astype(np.int64)
+            sign[k] = d < 0
+            mag = np.abs(d)
+            lane[k] = np.where(mag > 0, mag - 1, nb)  # nb = dead sentinel
+        order = np.empty((K, N), dtype=np.int32)
+        start = np.zeros((K, nb), dtype=np.int32)
+        cnt = np.zeros((K, nb), dtype=np.int32)
+        sgn = np.empty((K, N), dtype=np.int8)
+        for k in range(K):
+            o = np.argsort(lane[k], kind="stable").astype(np.int32)
+            order[k] = o
+            sgn[k] = sign[k][o]
+            counts = np.bincount(lane[k], minlength=nb + 1)[:nb].astype(
+                np.int32
+            )
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(
+                np.int32
+            )
+            m = self.window_m[k]
+            A = nb // m
+            if A <= 1:
+                cnt[k], start[k] = counts, starts
+            else:
+                for b in range(m):
+                    tot = int(counts[b])
+                    chunk = -(-tot // A) if tot else 0
+                    pos = int(starts[b])
+                    left = tot
+                    for j in range(A):
+                        take = min(chunk, left)
+                        al = j * m + b
+                        start[k, al] = pos
+                        cnt[k, al] = take
+                        pos += take
+                        left -= take
+        return order, start, cnt, sgn
+
     # -------------------------------------------------------------- device
     def _bucket_phase_impl(self, points, digits):
         """points: {x,y,z} with leading N axis; digits: (K, N) uint32.
@@ -149,6 +238,7 @@ class MSM:
         Returns window sums: point batch with leading K axis.  Device
         argsort scheduling — used by the sharded path where digits live
         on-device; the single-chip `run` uses `host_schedule`."""
+        assert not self.signed, "device scheduling is unsigned-digit only"
         dev, c, K = self.dev, self.c, self.K
         nb = 1 << c
         N = digits.shape[1]
@@ -166,9 +256,14 @@ class MSM:
     def _bucket_scheduled_impl(self, points, order, start, cnt):
         return self._bucket_loop(points, order, start, cnt, order.shape[1])
 
-    def _bucket_loop(self, points, order, start, cnt, N):
+    def _bucket_scheduled_signed_impl(self, points, order, start, cnt, sgn):
+        return self._bucket_loop(
+            points, order, start, cnt, order.shape[1], sgn=sgn
+        )
+
+    def _bucket_loop(self, points, order, start, cnt, N, sgn=None):
         dev, c, K = self.dev, self.c, self.K
-        nb = 1 << c
+        nb = self.nb
         max_cnt = jnp.max(cnt)
 
         # data-derived zero keeps loop carries "varying" under shard_map
@@ -222,6 +317,11 @@ class MSM:
             pts = jax.tree.map(
                 lambda a: a.reshape((K, nb) + a.shape[1:]), pts
             )
+            if sgn is not None:
+                neg = jnp.take_along_axis(sgn, pos, axis=1) != 0  # (K, nb)
+                pts["y"] = dev.ops.select(
+                    neg, dev.ops.neg(pts["y"]), pts["y"]
+                )
             mask = s < cnt
             new = dev.add(acc, pts)
             acc = dev.select(mask, new, acc)
@@ -266,8 +366,12 @@ class MSM:
         # and each small weighted sum runs the classic running-sum
         # recurrence at sqrt(nb) sequential trips instead of nb — 30x
         # fewer sequential EC adds at c=12, and c=16 stays tractable.
-        cl = c // 2
-        ch = c - cl
+        # For signed mode lanes carry weight lane+1 (no dead zero lane):
+        #   sum (hi*H + lo + 1) S = H * sum hi*T_hi + sum (lo+1)*U_lo,
+        # i.e. the lo-axis recurrence runs one extra trip (offset=1).
+        nbits = nb.bit_length() - 1
+        cl = nbits // 2
+        ch = nbits - cl
         G, Hf = 1 << ch, 1 << cl
         grid = {k: v.reshape((K, G, Hf) + v.shape[2:]) for k, v in acc.items()}
 
@@ -292,7 +396,9 @@ class MSM:
         T_hi = tree_sum(grid, Hf, 2)  # (K, G): sum over lo
         U_lo = tree_sum(grid, G, 1)  # (K, Hf): sum over hi
 
-        def weighted(S, nb_):
+        def weighted(S, nb_, offset=0):
+            """Running-sum recurrence: sum_b (b + offset) * S_b over
+            lanes b = nb_-1 .. offset^1 (nb_-1+offset trips)."""
             running = {
                 k: v + vzero for k, v in dev.identity((K,)).items()
             }
@@ -311,11 +417,13 @@ class MSM:
                 total = dev.add(total, running)
                 return (running, total)
 
-            _, total = jax.lax.fori_loop(0, nb_ - 1, rbody, (running, total))
+            _, total = jax.lax.fori_loop(
+                0, nb_ - 1 + offset, rbody, (running, total)
+            )
             return total
 
         s_hi = weighted(T_hi, G)
-        s_lo = weighted(U_lo, Hf)
+        s_lo = weighted(U_lo, Hf, offset=1 if sgn is not None else 0)
         for _ in range(cl):  # s_hi *= H
             s_hi = dev.add(s_hi, s_hi)
         return dev.add(s_hi, s_lo)  # leading axis K
@@ -340,7 +448,7 @@ class MSM:
         uniform-scalar MSM (max ~= mean + 3 sigma < 2*mean) never peels,
         while witness-skewed buckets (~n/2 points in one bucket) always
         do.  The floor keeps tiny MSMs on the pure lockstep path."""
-        mean = -(-n_points // (1 << self.c))
+        mean = -(-n_points // self.nb)
         return max(self.HEAVY_CNT, self.HEAVY_FACTOR * mean)
 
     def _tree_rows_impl(self, points, idx, valid):
@@ -367,10 +475,39 @@ class MSM:
             t = half
         return jax.tree.map(lambda a: a[:, 0], pts)
 
-    def _extract_heavy(self, points, order, start, cnt):
+    def _tree_rows_signed_impl(self, points, idx, valid, neg):
+        """Signed variant: negate gathered y where `neg` before summing."""
+        dev = self.dev
+        R, T = idx.shape
+        pts = {
+            k: jnp.take(points[k], idx.reshape(-1), axis=0)
+            for k in ("x", "y", "z")
+        }
+        pts["y"] = dev.ops.select(
+            neg.reshape(-1), dev.ops.neg(pts["y"]), pts["y"]
+        )
+        pts = dev.select(valid.reshape(-1), pts, dev.identity((R * T,)))
+        pts = jax.tree.map(lambda a: a.reshape((R, T) + a.shape[1:]), pts)
+        t = T
+        while t > 1:
+            half = t // 2
+            lo = jax.tree.map(
+                lambda a: a[:, :half].reshape((R * half,) + a.shape[2:]), pts
+            )
+            hi = jax.tree.map(
+                lambda a: a[:, half:t].reshape((R * half,) + a.shape[2:]), pts
+            )
+            s = dev.add(lo, hi)
+            pts = jax.tree.map(lambda a: a.reshape((R, half) + a.shape[1:]), s)
+            t = half
+        return jax.tree.map(lambda a: a[:, 0], pts)
+
+    def _extract_heavy(self, points, order, start, cnt, sgn=None):
         """Peel buckets with cnt > HEAVY_CNT: tree-sum their points on
         device, zero them in the schedule, return [(window, bucket_weight,
-        host_point)] corrections.  Mutates cnt in place."""
+        host_point)] corrections.  Mutates cnt in place.  In signed mode
+        `sgn` (aligned with order) negates peeled points before summing
+        and the correction weight is (folded lane)+1."""
         heavy = np.argwhere(cnt > self._heavy_thresh(order.shape[1]))
         if not len(heavy):
             return []
@@ -379,25 +516,47 @@ class MSM:
         for k, lane in heavy:
             s0, n0 = int(start[k, lane]), int(cnt[k, lane])
             idxs = order[k, s0 : s0 + n0]
+            sg = sgn[k, s0 : s0 + n0] if sgn is not None else None
             for lo in range(0, n0, T):
-                rows.append((int(k), int(lane), idxs[lo : lo + T]))
+                rows.append(
+                    (
+                        int(k),
+                        int(lane),
+                        idxs[lo : lo + T],
+                        sg[lo : lo + T] if sg is not None else None,
+                    )
+                )
             cnt[k, lane] = 0
         sums = {}
         for lo in range(0, len(rows), R):
             batch = rows[lo : lo + R]
             idx = np.zeros((R, T), dtype=np.int32)
             valid = np.zeros((R, T), dtype=bool)
-            for i, (_, _, ids) in enumerate(batch):
+            neg = np.zeros((R, T), dtype=bool)
+            for i, (_, _, ids, sg) in enumerate(batch):
                 idx[i, : len(ids)] = ids
                 valid[i, : len(ids)] = True
-            out = self._tree_rows(points, jnp.asarray(idx), jnp.asarray(valid))
+                if sg is not None:
+                    neg[i, : len(ids)] = sg != 0
+            if sgn is None:
+                out = self._tree_rows(
+                    points, jnp.asarray(idx), jnp.asarray(valid)
+                )
+            else:
+                out = self._tree_rows_s(
+                    points,
+                    jnp.asarray(idx),
+                    jnp.asarray(valid),
+                    jnp.asarray(neg),
+                )
             host_pts = self.dev.decode_points(out)
-            for i, (k, lane, _) in enumerate(batch):
+            for i, (k, lane, _, _) in enumerate(batch):
                 sums[(k, lane)] = self.dev.host_add(
                     sums.get((k, lane)), host_pts[i]
                 )
+        off = 1 if sgn is not None else 0
         return [
-            (k, lane % self.window_m[k], pt)
+            (k, (lane % self.window_m[k]) + off, pt)
             for (k, lane), pt in sums.items()
             if pt is not None
         ]
@@ -470,15 +629,30 @@ class MSM:
                 )
                 for k, v in points.items()
             }
-        order, start, cnt = self.host_schedule(
-            np.asarray(jax.device_get(scalars))
-        )
-        heavy = self._extract_heavy(points, order, start, cnt)
+        limbs_host = np.asarray(jax.device_get(scalars))
+        if self.signed:
+            order, start, cnt, sgn = self.host_schedule_signed(limbs_host)
+            heavy = self._extract_heavy(points, order, start, cnt, sgn)
+        else:
+            order, start, cnt = self.host_schedule(limbs_host)
+            heavy = self._extract_heavy(points, order, start, cnt)
         metrics.count("msm.points", n)
         metrics.gauge("msm.heavy_buckets", len(heavy))
-        windows = self._bucket_sched(
-            points, jnp.asarray(order), jnp.asarray(start), jnp.asarray(cnt)
-        )
+        if self.signed:
+            windows = self._bucket_sched_s(
+                points,
+                jnp.asarray(order),
+                jnp.asarray(start),
+                jnp.asarray(cnt),
+                jnp.asarray(sgn),
+            )
+        else:
+            windows = self._bucket_sched(
+                points,
+                jnp.asarray(order),
+                jnp.asarray(start),
+                jnp.asarray(cnt),
+            )
         wpts = dev.decode_points(windows)
         res = self._combine_host(wpts)
         for k, b, pt in heavy:

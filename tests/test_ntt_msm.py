@@ -175,3 +175,91 @@ def test_msm_gather_chunking():
     got = m.run(enc, scalars)
     exp = msm_host(C, pts, scalars)
     assert got == exp
+
+
+def test_msm_chunked_run_matches_host():
+    """run() splits MSMs whose packed gather source would exceed
+    MAX_GATHER_BYTES into power-of-two chunks and host-folds the partial
+    results (ops/msm.py:414-463).  Shrink the bound so a 64-point MSM
+    takes the chunked path (16-point chunks) and must still be exact,
+    including a non-power-of-two tail chunk."""
+    C = ci.BLS12_381_G1
+    F = fi.bls12_381_fq()
+    dev = SWDevice(F, C)
+    rng = random.Random(29)
+    n = 56  # chunks: 16, 16, 16, 8-tail
+    pts = [C.mul(rng.randrange(1, C.order), C.generator) for _ in range(n)]
+    scalars = [rng.randrange(C.order) for _ in range(n)]
+    scalars[3] = 0
+    m = MSM(dev, scalar_bits=255, c=4)
+    row = 3 * 24  # x,y,z coordinate limbs per point
+    row_bytes = (-(-row // 128) * 128) * 4
+    m.MAX_GATHER_BYTES = 16 * row_bytes
+    assert m._chunk_rows(m.dev.encode_points(pts[:1])) == 16
+    got = m.run(pts, scalars)
+    exp = msm_host(C, pts, scalars)
+    assert got == exp
+
+
+@pytest.mark.parametrize("c", [4, 8])
+def test_msm_signed_digits(c):
+    """Signed-window engine (ops/msm.py signed=True): digits recoded to
+    [-2^(c-1), 2^(c-1)-1] with carry, negative digits folded into the
+    gather as y-negation, bucket lanes weighted lane+1."""
+    C = ci.BLS12_381_G1
+    F = fi.bls12_381_fq()
+    dev = SWDevice(F, C)
+    rng = random.Random(31)
+    n = 64
+    pts = [C.mul(rng.randrange(1, C.order), C.generator) for _ in range(n)]
+    scalars = [rng.randrange(C.order) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[2] = C.order - 1  # all-negative-digit tail
+    scalars[3] = (1 << (c - 1)) - 1  # max positive digit
+    scalars[4] = 1 << (c - 1)  # recodes to -2^(c-1) + carry
+    scalars[5] = (1 << c) - 1  # -1 + carry
+    m = MSM(dev, scalar_bits=255, c=c, signed=True)
+    got = m.run(pts, scalars)
+    exp = msm_host(C, pts, scalars)
+    assert got == exp
+
+
+def test_msm_signed_heavy_peel_and_duplicates():
+    """Signed schedule through the heavy-peel path: skewed small scalars
+    concentrate one bucket past the (lowered) threshold; peeled tree sums
+    must apply the gather-negation too."""
+    C = ci.BLS12_381_G1
+    F = fi.bls12_381_fq()
+    dev = SWDevice(F, C)
+    rng = random.Random(37)
+    n = 32
+    pts = [C.mul(rng.randrange(1, C.order), C.generator) for _ in range(n)]
+    # skew: half the scalars are 15 (= -1 + carry at c=4), forcing the
+    # |d|=1-negated bucket heavy; rest random
+    scalars = [15 if i % 2 == 0 else rng.randrange(C.order) for i in range(n)]
+    m = MSM(dev, scalar_bits=255, c=4, signed=True)
+    m.HEAVY_CNT = 4
+    m.TREE_CHUNK = 8
+    m.TREE_ROWS = 2
+    got = m.run(pts, scalars)
+    exp = msm_host(C, pts, scalars)
+    assert got == exp
+
+
+def test_msm_signed_chunked_run():
+    """Signed engine through the chunked-run path (both features at once:
+    ops/msm.py MAX_GATHER_BYTES splitting + signed schedule per chunk)."""
+    C = ci.BLS12_381_G1
+    F = fi.bls12_381_fq()
+    dev = SWDevice(F, C)
+    rng = random.Random(41)
+    n = 48  # 16,16,16 chunks
+    pts = [C.mul(rng.randrange(1, C.order), C.generator) for _ in range(n)]
+    scalars = [rng.randrange(C.order) for _ in range(n)]
+    m = MSM(dev, scalar_bits=255, c=4, signed=True)
+    row_bytes = (-(-(3 * 24) // 128) * 128) * 4
+    m.MAX_GATHER_BYTES = 16 * row_bytes
+    got = m.run(pts, scalars)
+    exp = msm_host(C, pts, scalars)
+    assert got == exp
