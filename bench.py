@@ -31,8 +31,8 @@ def main():
     # bucket loop's trip count ~N/2^c regardless of the top window, and
     # the compiled program for this shape is in the persistent cache)
     log2n = int(os.environ.get("BENCH_MSM_LOG2", "22"))
-    c = int(os.environ.get("BENCH_MSM_C", "12"))
-    signed = os.environ.get("BENCH_MSM_SIGNED", "0") == "1"
+    c = int(os.environ.get("BENCH_MSM_C", "16"))
+    signed = os.environ.get("BENCH_MSM_SIGNED", "1") == "1"
     n = 1 << log2n
 
     Fq = fi.bls12_381_fq()

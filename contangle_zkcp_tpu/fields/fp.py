@@ -142,6 +142,7 @@ class Fp:
         self.to_mont = jax.jit(self._to_mont_impl)
         self.from_mont = jax.jit(self._from_mont_impl)
         self.pow_const = jax.jit(self._pow_const_impl, static_argnums=1)
+        self.batch_inv = jax.jit(self._batch_inv_impl)
 
     # ---------------------------------------------------------------- host
     def encode(self, xs, mont: bool = True):
@@ -353,6 +354,43 @@ class Fp:
     def _inv_impl(self, a):
         """Batched inversion via a^(p-2) (Montgomery in, Montgomery out)."""
         return self._pow_const_impl(a, self.p - 2)
+
+    def _batch_inv_impl(self, a):
+        """Montgomery-trick batched inversion: ~3 multiplies per element
+        via a binary product tree (up-sweep pairwise products, ONE Fermat
+        inversion at the root, down-sweep distributing the inverse), vs
+        ~380 multiplies each under Fermat.  This is what makes affine EC
+        formulas (one field inversion per batched add) cheaper than the
+        12-multiply complete projective law in the MSM bucket loop.
+
+        Zero lanes map to zero (Fermat semantics), and never poison the
+        tree: they are substituted with 1 before the up-sweep.
+        """
+        shp = a.shape
+        L = self.L
+        flat = a.reshape(-1, L)
+        n = flat.shape[0]
+        one = jnp.asarray(self.one_mont_limbs)
+        zero_mask = self.is_zero(flat)
+        x = jnp.where(zero_mask[:, None], one, flat)
+        np2 = 1 << max(0, (n - 1).bit_length())
+        if np2 > n:
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(one, (np2 - n, L))], axis=0
+            )
+        levels = [x]
+        while x.shape[0] > 1:
+            x = self._mul_impl(x[0::2], x[1::2])
+            levels.append(x)
+        inv = self._pow_const_impl(levels[-1], self.p - 2)  # (1, L)
+        for lvl in levels[-2::-1]:
+            even = self._mul_impl(inv, lvl[1::2])
+            odd = self._mul_impl(inv, lvl[0::2])
+            m = lvl.shape[0]
+            inv = jnp.stack([even, odd], axis=1).reshape(m, L)
+        out = inv[:n]
+        out = jnp.where(zero_mask[:, None], jnp.zeros((L,), _U32), out)
+        return out.reshape(shp)
 
     # host-side scalar helpers (exact, for tests/tooling)
     def h_mul(self, x: int, y: int) -> int:

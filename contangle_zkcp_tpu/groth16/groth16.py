@@ -80,7 +80,7 @@ class CurveCtx:
         unsigned — ops/msm.py host_schedule_signed)."""
         import os
 
-        signed = os.environ.get("ZKCP_MSM_SIGNED", "0") == "1"
+        signed = os.environ.get("ZKCP_MSM_SIGNED", "1") == "1"
         if signed and n >= (1 << 16):
             c = int(os.environ.get("ZKCP_MSM_SIGNED_C", "16"))
         elif n >= (1 << 16):

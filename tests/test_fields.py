@@ -68,6 +68,19 @@ def test_inv_and_pow(F):
     assert got == [pow(x, 17, F.p) for x in xs]
 
 
+@pytest.mark.parametrize("n", [1, 2, 7, 32, 33])
+def test_batch_inv(n):
+    F = instances.bls12_381_fq()
+    rng = random.Random(7)
+    xs = [rng.randrange(1, F.p) for _ in range(n)]
+    if n >= 7:
+        xs[3] = 0  # zero lane maps to zero, must not poison the tree
+    a = F.encode(xs)
+    got = F.decode(F.batch_inv(a))
+    want = [pow(x, -1, F.p) if x else 0 for x in xs]
+    assert got == want
+
+
 def test_mont_round_trip_device():
     F = instances.bls12_381_fr()
     rng = random.Random(5)
