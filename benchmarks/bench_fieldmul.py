@@ -41,7 +41,9 @@ def main():
 
     from contangle_zkcp_tpu.ops import pallas_mont
 
-    lanes = pallas_mont.MontMulLanes(F, lane_tile=int(os.environ.get("FM_TILE", "2048")))
+    tile = int(os.environ.get("FM_TILE", "2048"))
+    lanes = pallas_mont.MontMulLanes(F, lane_tile=tile)
+    lanes_mxu = pallas_mont.MontMulLanes(F, lane_tile=tile, mxu=True)
 
     def lanes_t(at, bt):
         return lanes.mul_t(at, bt)
@@ -53,11 +55,16 @@ def main():
         ("xla", F._mul_xla),
         ("pallas_r1", ops.mul),
         ("lanes", lanes.mul),
+        ("lanes_mxu", lanes_mxu.mul),
         ("lanes_t", None),
+        ("lanes_mxu_t", None),
     ):
-        if name == "lanes_t":
+        if name.endswith("_t"):
+            eng_t = lanes_mxu if name == "lanes_mxu_t" else lanes
             try:
-                run = jax.jit(lambda a, b: chain(lanes_t, a, b, iters))
+                run = jax.jit(
+                    lambda a, b, e=eng_t: chain(lambda x, y: e.mul_t(x, y), a, b, iters)
+                )
                 out = run(at, bt)
                 _ = jax.device_get(out[0, 0])
                 t0 = time.time()
@@ -88,6 +95,11 @@ def main():
     print("pallas_r1 == xla:", bool((x1 == x2).all()))
     x3 = _np.asarray(jax.device_get(lanes.mul(a_d, b_d)))
     print("lanes == xla:", bool((x1 == x3).all()))
+    try:
+        x4 = _np.asarray(jax.device_get(lanes_mxu.mul(a_d, b_d)))
+        print("lanes_mxu == xla:", bool((x1 == x4).all()))
+    except Exception as e:  # noqa: BLE001
+        print(f"lanes_mxu exactness: FAILED {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

@@ -61,11 +61,13 @@ def mod_sub_rows(a, b, p):
     return jnp.where(_bcast_rows(no_borrow != 0, d.shape), d, dp)
 
 
-def rcb_add_body(p, npinv, b3, P1, P2, c_ref, t_ref, L):
+def rcb_add_body(p, npinv, b3, P1, P2, c_ref, t_ref, L, mxu=None):
     """RCB complete addition (a=0) on (L, T) coordinate planes in VMEM.
 
     P1 = (X1, Y1, Z1), P2 = (X2, Y2, Z2); returns (X3, Y3, Z3).
-    b3 is 3*b in Montgomery form, (L, 1).
+    b3 is 3*b in Montgomery form, (L, 1).  mxu: optional (M_np, M_p)
+    cat-Toeplitz matrices routing each multiply's fixed-operand reduction
+    products to the MXU (ops/pallas_mont.py).
     """
     X1, Y1, Z1 = P1
     X2, Y2, Z2 = P2
@@ -73,7 +75,7 @@ def rcb_add_body(p, npinv, b3, P1, P2, c_ref, t_ref, L):
     assert p.shape == X1.shape and b3.shape == X1.shape, (p.shape, X1.shape)
 
     def mul(x, y):
-        return mont_mul_kernel_body(p, npinv, x, y, c_ref, t_ref, L)
+        return mont_mul_kernel_body(p, npinv, x, y, c_ref, t_ref, L, mxu=mxu)
 
     b3b = b3
     t0 = mul(X1, X2)
@@ -105,12 +107,18 @@ def rcb_add_body(p, npinv, b3, P1, P2, c_ref, t_ref, L):
 class PallasSWAdd:
     """Compiled fused RCB addition for one SW group over a prime field."""
 
-    def __init__(self, F, b3_limbs, lane_tile: int = 512):
+    def __init__(self, F, b3_limbs, lane_tile: int = 512, mxu: bool = False):
         import numpy as np
+
+        from .pallas_mont import _const_byte_planes, _toeplitz_cat
 
         self.F = F
         self.L = F.L
         self.lane_tile = lane_tile
+        self.mxu = mxu
+        L = F.L
+        self._Mnp = _toeplitz_cat(_const_byte_planes(F.npinv_limbs), L, L)
+        self._Mp = _toeplitz_cat(_const_byte_planes(F.p_limbs), 2 * L, L)
 
         def tile_const(limbs):
             # numpy on purpose: engines are lazily built inside jit traces
@@ -142,6 +150,40 @@ class PallasSWAdd:
         yo[...] = Y3
         zo[...] = Z3
 
+    def _kernel_mxu(
+        self,
+        p_ref,
+        np_ref,
+        b3_ref,
+        mnp_ref,
+        mp_ref,
+        x1,
+        y1,
+        z1,
+        x2,
+        y2,
+        z2,
+        xo,
+        yo,
+        zo,
+        c_ref,
+        t_ref,
+    ):
+        X3, Y3, Z3 = rcb_add_body(
+            p_ref[...],
+            np_ref[...],
+            b3_ref[...],
+            (x1[...], y1[...], z1[...]),
+            (x2[...], y2[...], z2[...]),
+            c_ref,
+            t_ref,
+            self.L,
+            mxu=(mnp_ref[...], mp_ref[...]),
+        )
+        xo[...] = X3
+        yo[...] = Y3
+        zo[...] = Z3
+
     @functools.partial(jax.jit, static_argnums=0, static_argnames="interpret")
     def add_t(self, P1, P2, interpret=False):
         """Transposed fused add: P1, P2 tuples of (L, N) planes."""
@@ -156,18 +198,30 @@ class PallasSWAdd:
         cspec = pl.BlockSpec((L, T), lambda i: (0, 0), memory_space=pltpu.VMEM)
         rows = 2 * L + 1
         sds = jax.ShapeDtypeStruct((L, N), _U32)
+        in_specs = [cspec, cspec, cspec]
+        args = [self._p, self._np, self._b3]
+        if self.mxu:
+            in_specs += [
+                pl.BlockSpec(
+                    (2 * L, 2 * L), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (4 * L, 2 * L), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ]
+            args += [self._Mnp, self._Mp]
         return pl.pallas_call(
-            self._kernel,
+            self._kernel_mxu if self.mxu else self._kernel,
             out_shape=(sds, sds, sds),
             grid=grid,
-            in_specs=[cspec, cspec, cspec] + [spec] * 6,
+            in_specs=in_specs + [spec] * 6,
             out_specs=(spec, spec, spec),
             scratch_shapes=[
                 pltpu.VMEM((rows, T), _U32),
                 pltpu.VMEM((rows, T), _U32),
             ],
             interpret=interpret,
-        )(self._p, self._np, self._b3, *P1, *P2)
+        )(*args, *P1, *P2)
 
     def add(self, P, Q, interpret=False):
         """Drop-in for SWDevice.add on {x,y,z} dict batches (..., L)."""
@@ -195,7 +249,11 @@ class PallasSWAdd:
 
 
 @functools.lru_cache(maxsize=None)
-def get_engine(F, b3_key, lane_tile: int = 512) -> PallasSWAdd:
+def get_engine(F, b3_key, lane_tile: int = 512, mxu: bool | None = None) -> PallasSWAdd:
     import numpy as np
 
-    return PallasSWAdd(F, np.asarray(b3_key, dtype=np.uint32), lane_tile)
+    from .pallas_mont import _use_mxu
+
+    if mxu is None:
+        mxu = _use_mxu()
+    return PallasSWAdd(F, np.asarray(b3_key, dtype=np.uint32), lane_tile, mxu=mxu)

@@ -114,19 +114,95 @@ def _accum_product(c_ref, x, y, L, low_only=False):
             c_ref[i + 1 : i + 1 + jmax] += hi
 
 
-def _normalize_scratch(c_ref, rows):
-    """Resolve the redundant scratch columns to 16-bit limbs (functional)."""
-    cols = c_ref[:rows]
+def _resolve_cols_rows(cols):
+    """Resolve redundant u32 columns (< 2^32 each) to 16-bit limbs; carries
+    out of the top row are dropped (callers size rows so the value fits)."""
     lo = cols & LIMB_MASK
     hi = _shift_rows_up(cols >> LIMB_BITS, 1)
     return _ks_resolve_rows(lo + hi)
 
 
-def mont_mul_kernel_body(p, npinv, a, b, c_ref, t_ref, L):
+def _normalize_scratch(c_ref, rows):
+    """Resolve the redundant scratch columns to 16-bit limbs (functional)."""
+    return _resolve_cols_rows(c_ref[:rows])
+
+
+# --------------------------------------------------------------------- MXU
+# The Montgomery step's two inner products have a COMPILE-TIME-CONSTANT
+# operand: m = (T mod R) * N' mod R and m * p.  A multiply by a constant
+# is a Toeplitz matrix applied to the limb planes — i.e. an MXU matmul —
+# so both ride the systolic array while the VPU keeps only the a*b
+# schoolbook and the carry scans.  Exactness: operands split to 8-bit
+# byte planes, so every f32 product is < 2^16 and a 2L-term column sum
+# < 2^22 — exact in f32 with precision="highest" (the same guarantee the
+# XLA path's column-reduction matmuls rely on, fields/fp.py).
+#
+# Layout ("cat" basis, no strided row ops in-kernel): byte planes of a
+# (L, T) limb block are concatenated as [low bytes; high bytes] (2L, T),
+# and the constant matrix's rows are likewise [low output bytes; high
+# output bytes], so the fold back to 16-bit columns is one shift-add of
+# two contiguous row slabs.
+
+
+def _const_byte_planes(limbs):
+    b = np.zeros(2 * len(limbs), np.int64)
+    arr = np.asarray(limbs, np.int64)
+    b[0::2] = arr & 0xFF
+    b[1::2] = arr >> 8
+    return b
+
+
+def _toeplitz_cat(byte_planes, out16: int, L: int):
+    """(2*out16, 2L) f32 matrix: M @ cat_bytes(x) = cat_bytes8(const * x)
+    where output byte k = sum_{i+j=k} const_byte_i * x_byte_j."""
+    nb = len(byte_planes)
+    M = np.zeros((2 * out16, 2 * L), np.float32)
+    for r in range(2 * out16):
+        br = 2 * r if r < out16 else 2 * (r - out16) + 1
+        for c2 in range(2 * L):
+            bc = 2 * c2 if c2 < L else 2 * (c2 - L) + 1
+            d = br - bc
+            if 0 <= d < nb:
+                M[r, c2] = float(byte_planes[d])
+    return M
+
+
+def _mxu_const_product_cols(M, t16, out16: int):
+    """Columns of (const * t16) in 16-bit basis via one exact f32 matmul.
+
+    M: (2*out16, 2L) f32 cat-Toeplitz; t16: (L, T) u32 canonical limbs.
+    Returns (out16, T) u32 redundant columns, each < 2^30.
+    """
+    # Mosaic has no direct u32<->f32 casts; values are < 2^16 (bytes) and
+    # < 2^24 (column sums), so a signed-int32 hop is exact both ways.
+    t8 = (
+        jnp.concatenate([t16 & 0xFF, t16 >> 8], axis=0)
+        .astype(jnp.int32)
+        .astype(jnp.float32)
+    )
+    c8 = (
+        jax.lax.dot_general(
+            M,
+            t8,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        .astype(jnp.int32)
+        .astype(_U32)
+    )
+    return c8[:out16] + (c8[out16:] << 8)
+
+
+def mont_mul_kernel_body(p, npinv, a, b, c_ref, t_ref, L, mxu=None):
     """One block of Montgomery multiplies, all operands (rows, T) in VMEM.
 
     p, npinv: (L, 1) constants; a, b: (L, T); c_ref/t_ref: (2L+1, T)
     scratches.  Returns the (L, T) canonical product a*b*R^-1 mod p.
+
+    mxu: optional (M_np, M_p) cat-Toeplitz constant matrices — when given,
+    the two fixed-operand reduction products run as exact f32 MXU matmuls
+    (concurrent with the VPU's a*b schoolbook) instead of VPU columns.
     """
     rows = 2 * L + 1
     # Constants arrive pre-tiled to (L, T) (see MontMulLanes): Mosaic has
@@ -136,12 +212,20 @@ def mont_mul_kernel_body(p, npinv, a, b, c_ref, t_ref, L):
     c_ref[...] = jnp.zeros(c_ref.shape, c_ref.dtype)
     _accum_product(c_ref, a, b, L)
     t_lo = _normalize_scratch(c_ref, L)  # T mod R, (L, T)
-    # m = (T mod R) * N' mod R (low columns only)
-    t_ref[...] = jnp.zeros(t_ref.shape, t_ref.dtype)
-    _accum_product(t_ref, npinv, t_lo, L, low_only=True)
-    m = _normalize_scratch(t_ref, L)  # (L, T)
-    # T + m*p  (accumulate m*p straight into the T columns)
-    _accum_product(c_ref, p, m, L)
+    if mxu is not None:
+        M_np, M_p = mxu
+        # m = (T mod R) * N' mod R: one (2L, 2L) @ (2L, T) MXU product
+        m = _resolve_cols_rows(_mxu_const_product_cols(M_np, t_lo, L))
+        # m*p full columns: one (4L, 2L) @ (2L, T) MXU product, folded
+        # straight into the a*b scratch (sums stay < 2^31)
+        c_ref[0 : 2 * L] += _mxu_const_product_cols(M_p, m, 2 * L)
+    else:
+        # m = (T mod R) * N' mod R (low columns only)
+        t_ref[...] = jnp.zeros(t_ref.shape, t_ref.dtype)
+        _accum_product(t_ref, npinv, t_lo, L, low_only=True)
+        m = _normalize_scratch(t_ref, L)  # (L, T)
+        # T + m*p  (accumulate m*p straight into the T columns)
+        _accum_product(c_ref, p, m, L)
     res = _normalize_scratch(c_ref, rows)[L : rows]  # (L+1, T), value < 2p
     out, top = res[:L], res[L : L + 1]
     d, no_borrow = _ks_sub_rows(out, p)
@@ -152,10 +236,11 @@ def mont_mul_kernel_body(p, npinv, a, b, c_ref, t_ref, L):
 class MontMulLanes:
     """Compiled batch-on-lanes Montgomery multiply for one field."""
 
-    def __init__(self, F, lane_tile: int = 2048):
+    def __init__(self, F, lane_tile: int = 2048, mxu: bool = False):
         self.F = F
         self.L = F.L
         self.lane_tile = lane_tile
+        self.mxu = mxu
         # constants pre-tiled across the lane tile (no in-kernel broadcast).
         # KEPT AS NUMPY: engines are lazily constructed inside jit traces
         # (Fp._mul_impl dispatch); a jnp constant created there would be a
@@ -164,10 +249,38 @@ class MontMulLanes:
         self._np = np.tile(
             np.asarray(F.npinv_limbs, np.uint32)[:, None], (1, lane_tile)
         )
+        L = self.L
+        self._Mnp = _toeplitz_cat(_const_byte_planes(F.npinv_limbs), L, L)
+        self._Mp = _toeplitz_cat(_const_byte_planes(F.p_limbs), 2 * L, L)
+
+    def _mxu_specs(self, pl, pltpu):
+        L = self.L
+        return [
+            pl.BlockSpec(
+                (2 * L, 2 * L), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (4 * L, 2 * L), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
 
     def _kernel(self, p_ref, np_ref, a_ref, b_ref, o_ref, c_ref, t_ref):
         o_ref[...] = mont_mul_kernel_body(
             p_ref[...], np_ref[...], a_ref[...], b_ref[...], c_ref, t_ref, self.L
+        )
+
+    def _kernel_mxu(
+        self, p_ref, np_ref, mnp_ref, mp_ref, a_ref, b_ref, o_ref, c_ref, t_ref
+    ):
+        o_ref[...] = mont_mul_kernel_body(
+            p_ref[...],
+            np_ref[...],
+            a_ref[...],
+            b_ref[...],
+            c_ref,
+            t_ref,
+            self.L,
+            mxu=(mnp_ref[...], mp_ref[...]),
         )
 
     @functools.partial(jax.jit, static_argnums=0, static_argnames="interpret")
@@ -183,27 +296,66 @@ class MontMulLanes:
         spec = pl.BlockSpec((L, T), lambda i: (0, i), memory_space=pltpu.VMEM)
         cspec = pl.BlockSpec((L, T), lambda i: (0, 0), memory_space=pltpu.VMEM)
         rows = 2 * L + 1
+        in_specs = [cspec, cspec]
+        args = [self._p, self._np]
+        if self.mxu:
+            in_specs += self._mxu_specs(pl, pltpu)
+            args += [self._Mnp, self._Mp]
         return pl.pallas_call(
-            self._kernel,
+            self._kernel_mxu if self.mxu else self._kernel,
             out_shape=jax.ShapeDtypeStruct((L, N), _U32),
             grid=grid,
-            in_specs=[cspec, cspec, spec, spec],
+            in_specs=in_specs + [spec, spec],
             out_specs=spec,
             scratch_shapes=[
                 pltpu.VMEM((rows, T), _U32),
                 pltpu.VMEM((rows, T), _U32),
             ],
             interpret=interpret,
-        )(self._p, self._np, at, bt)
+        )(*args, at, bt)
 
     # ------------------------------------------------------- NTT butterfly
     def _bf_kernel(
         self, p_ref, np_ref, u_ref, v_ref, tw_ref, hi_ref, lo_ref, c_ref, t_ref
     ):
+        self._bf_common(
+            p_ref, np_ref, None, u_ref, v_ref, tw_ref, hi_ref, lo_ref, c_ref, t_ref
+        )
+
+    def _bf_kernel_mxu(
+        self,
+        p_ref,
+        np_ref,
+        mnp_ref,
+        mp_ref,
+        u_ref,
+        v_ref,
+        tw_ref,
+        hi_ref,
+        lo_ref,
+        c_ref,
+        t_ref,
+    ):
+        self._bf_common(
+            p_ref,
+            np_ref,
+            (mnp_ref[...], mp_ref[...]),
+            u_ref,
+            v_ref,
+            tw_ref,
+            hi_ref,
+            lo_ref,
+            c_ref,
+            t_ref,
+        )
+
+    def _bf_common(
+        self, p_ref, np_ref, mxu, u_ref, v_ref, tw_ref, hi_ref, lo_ref, c_ref, t_ref
+    ):
         p = p_ref[...]
         u = u_ref[...]
         vw = mont_mul_kernel_body(
-            p, np_ref[...], v_ref[...], tw_ref[...], c_ref, t_ref, self.L
+            p, np_ref[...], v_ref[...], tw_ref[...], c_ref, t_ref, self.L, mxu=mxu
         )
         # hi = u + vw mod p  (sum < 2p fits L limbs for all our moduli)
         t = _ks_resolve_rows(u + vw)
@@ -231,21 +383,26 @@ class MontMulLanes:
         spec = pl.BlockSpec((L, T), lambda i: (0, i), memory_space=pltpu.VMEM)
         cspec = pl.BlockSpec((L, T), lambda i: (0, 0), memory_space=pltpu.VMEM)
         rows = 2 * L + 1
+        in_specs = [cspec, cspec]
+        args = [self._p, self._np]
+        if self.mxu:
+            in_specs += self._mxu_specs(pl, pltpu)
+            args += [self._Mnp, self._Mp]
         return pl.pallas_call(
-            self._bf_kernel,
+            self._bf_kernel_mxu if self.mxu else self._bf_kernel,
             out_shape=(
                 jax.ShapeDtypeStruct((L, N), _U32),
                 jax.ShapeDtypeStruct((L, N), _U32),
             ),
             grid=grid,
-            in_specs=[cspec, cspec, spec, spec, spec],
+            in_specs=in_specs + [spec, spec, spec],
             out_specs=(spec, spec),
             scratch_shapes=[
                 pltpu.VMEM((rows, T), _U32),
                 pltpu.VMEM((rows, T), _U32),
             ],
             interpret=interpret,
-        )(self._p, self._np, ut, vt, twt)
+        )(*args, ut, vt, twt)
 
     def mul(self, a, b, interpret=False):
         """Drop-in (..., L) multiply: transpose, tile-pad, kernel, restore."""
@@ -263,6 +420,15 @@ class MontMulLanes:
         return out_t.T[:n].reshape(batch + (L,))
 
 
+def _use_mxu() -> bool:
+    """MXU constant-product reduction (env-gated until it wins on-chip)."""
+    import os
+
+    return os.environ.get("ZKCP_MXU", "0") == "1"
+
+
 @functools.lru_cache(maxsize=None)
-def get_engine(F, lane_tile: int = 2048) -> MontMulLanes:
-    return MontMulLanes(F, lane_tile)
+def get_engine(F, lane_tile: int = 2048, mxu: bool | None = None) -> MontMulLanes:
+    if mxu is None:
+        mxu = _use_mxu()
+    return MontMulLanes(F, lane_tile, mxu=mxu)
