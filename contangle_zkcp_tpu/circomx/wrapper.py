@@ -40,12 +40,14 @@ class CircomConfig:
     r1cs: R1csFile
     signal_map: dict  # name -> wire id or (start, len)
     sanity_check: bool = False
+    wasm: bytes | None = None  # compiled witness generator, if available
 
 
 class CircomBuilder:
     def __init__(self, cfg: CircomConfig):
         self.cfg = cfg
         self.assignments = {0: 1}  # wire -> value
+        self.inputs = {}  # name -> [values], for the wasm calculator
 
     def push_variable(self, name: str, values):
         """Assign a (vector) signal from known witness data."""
@@ -56,6 +58,9 @@ class CircomBuilder:
         self._assign(name, value)
 
     def _assign(self, name, values):
+        self.inputs[name] = (
+            list(values) if isinstance(values, (list, tuple)) else [values]
+        )
         loc = self.cfg.signal_map[name]
         prime = self.cfg.r1cs.prime
         if isinstance(loc, tuple):
@@ -71,10 +76,15 @@ class CircomBuilder:
             self.assignments[loc] = int(values) % prime
 
     def solve_witness(self):
-        """Fill remaining wires: single-unknown constraint propagation
-        (handles nonlinear intermediates — products, squares) plus a
-        bit-decomposition hint solver for the Num2Bits pattern whose
-        values circom normally computes in wasm."""
+        """Fill remaining wires.  With a compiled `.wasm` witness
+        generator attached (cfg.wasm), run it through the embedded
+        interpreter — the path the reference takes via wasmer inside its
+        ark-circom fork.  Otherwise fall back to single-unknown
+        constraint propagation (handles nonlinear intermediates —
+        products, squares) plus a bit-decomposition hint solver for the
+        Num2Bits pattern."""
+        if self.cfg.wasm is not None:
+            return self._solve_witness_wasm()
         r1 = self.cfg.r1cs
         prime = r1.prime
         wires = dict(self.assignments)
@@ -108,6 +118,29 @@ class CircomBuilder:
                 if av * bv % prime != cv:
                     raise ProofError("circom constraint unsatisfied")
         return [wires[w] for w in range(r1.n_wires)]
+
+    def _solve_witness_wasm(self):
+        from .witness_calc import WitnessCalculator
+
+        r1 = self.cfg.r1cs
+        calc = WitnessCalculator(
+            self.cfg.wasm, sanity_check=self.cfg.sanity_check
+        )
+        if calc.prime != r1.prime:
+            raise ProofError(
+                "wasm witness generator prime differs from the r1cs prime"
+            )
+        wit = calc.calculate_witness(self.inputs)
+        if len(wit) < r1.n_wires:
+            raise ProofError(
+                f"wasm witness has {len(wit)} wires, r1cs wants {r1.n_wires}"
+            )
+        # wires assigned directly (push_variable) must agree with the
+        # generator's output — the fork's witness-sharing semantics
+        for w, v in self.assignments.items():
+            if wit[w] % r1.prime != v % r1.prime:
+                raise ProofError(f"wasm witness disagrees at wire {w}")
+        return [v % r1.prime for v in wit[: r1.n_wires]]
 
     @staticmethod
     def _boolean_wires(constraints, prime):

@@ -83,6 +83,14 @@ class CurveCtx:
         signed = os.environ.get("ZKCP_MSM_SIGNED", "1") == "1"
         if signed and n >= (1 << 16):
             c = int(os.environ.get("ZKCP_MSM_SIGNED_C", "16"))
+            if group == "g2":
+                # Fq2 points are 4x the bytes of G1: a c=16 bucket grid
+                # (2^15 lanes x K windows of Jacobian G2 accumulators)
+                # is ~GB-scale and crashed the TPU worker at the
+                # n=196,608 proof's 792330-point B query
+                # (benchmarks/scale_196608_r2.log).  c=12 keeps the
+                # grid at 2^11 lanes.
+                c = min(c, int(os.environ.get("ZKCP_MSM_SIGNED_C_G2", "12")))
         elif n >= (1 << 16):
             c = 12
         else:
