@@ -72,36 +72,23 @@ class CurveCtx:
         return self._msm_for("g2", n)
 
     def _msm_for(self, group: str, n: int) -> MSM:
-        """Window size by MSM size: wide windows (c=12) amortize at scale
-        (the bucket loop's trip count is ~N/2^c under alias spreading),
-        narrow ones keep small/test-size programs cheap to compile.
-        ZKCP_MSM_SIGNED=1 selects the signed-digit engine (half the
-        bucket lanes per window; c=16 spans 255 bits in 16 windows vs 22
-        unsigned — ops/msm.py host_schedule_signed)."""
-        import os
+        """Engine per (group, size) via the tested policy table
+        (ops/msm_policy.py): signed wide windows at scale, plain c=8 for
+        small MSMs, G2 window width capped by the bucket-grid memory
+        budget."""
+        from ..ops.msm_policy import msm_config
 
-        signed = os.environ.get("ZKCP_MSM_SIGNED", "1") == "1"
-        if signed and n >= (1 << 16):
-            c = int(os.environ.get("ZKCP_MSM_SIGNED_C", "16"))
-            if group == "g2":
-                # Fq2 points are 4x the bytes of G1: a c=16 bucket grid
-                # (2^15 lanes x K windows of Jacobian G2 accumulators)
-                # is ~GB-scale and crashed the TPU worker at the
-                # n=196,608 proof's 792330-point B query
-                # (benchmarks/scale_196608_r2.log).  c=12 keeps the
-                # grid at 2^11 lanes.
-                c = min(c, int(os.environ.get("ZKCP_MSM_SIGNED_C_G2", "12")))
-        elif n >= (1 << 16):
-            c = 12
-        else:
-            c, signed = 8, False
-        if c == 8:
+        cfg = msm_config(group, n, self.r.bit_length())
+        if cfg.c == 8 and not cfg.signed:
             return self._msm_g1 if group == "g1" else self._msm_g2
-        key = (group, c, signed)
+        key = (group, cfg.c, cfg.signed)
         if key not in self._msm_cache:
             dev = self.g1_dev if group == "g1" else self.g2_dev
             self._msm_cache[key] = MSM(
-                dev, scalar_bits=self.r.bit_length(), c=c, signed=signed
+                dev,
+                scalar_bits=self.r.bit_length(),
+                c=cfg.c,
+                signed=cfg.signed,
             )
         return self._msm_cache[key]
 

@@ -67,12 +67,20 @@ class MSM:
     """Pippenger engine bound to one SW group (G1 or G2 via SWDevice)."""
 
     def __init__(
-        self, dev: SWDevice, scalar_bits: int, c: int = 8, signed: bool = False
+        self,
+        dev: SWDevice,
+        scalar_bits: int,
+        c: int = 8,
+        signed: bool = False,
+        packed: bool | None = None,
     ):
         self.dev = dev
         self.c = c
         self.scalar_bits = scalar_bits
         self.signed = signed
+        # packed-row gathers (None = packed on TPU, per-coordinate on
+        # CPU; see the use_packed note in _bucket_loop)
+        self.packed = packed
         if signed:
             # Signed-digit windows: recode each c-bit digit into
             # [-2^(c-1), 2^(c-1)-1] with a +1 carry, gather-negating the
@@ -267,8 +275,12 @@ class MSM:
         max_cnt = jnp.max(cnt)
 
         # data-derived zero keeps loop carries "varying" under shard_map
-        # (a replicated init vs varying body output is a type error)
-        vzero = (order[0, 0] * 0).astype(jnp.uint32)
+        # (a replicated init vs varying body output is a type error).
+        # Must derive from `points`: argsort indices (`order`) do NOT
+        # carry the varying axis, which regressed the multi-chip dryrun
+        # in round 2 — the body gathers from points, so its output is
+        # varying and the init must be too.
+        vzero = (points["x"].reshape(-1)[0] * 0).astype(jnp.uint32)
         acc = dev.identity((K, nb))
         acc = {k: v + vzero for k, v in acc.items()}
 
@@ -280,7 +292,9 @@ class MSM:
         # (observed crashes in backend_compile_and_load / serialize on
         # the bucket program; tests/conftest.py note), so CPU keeps the
         # plain per-coordinate gathers.
-        use_packed = _backend() == "tpu"
+        use_packed = (
+            self.packed if self.packed is not None else _backend() == "tpu"
+        )
         if use_packed:
             coord_shapes = {k: points[k].shape[1:] for k in ("x", "y", "z")}
             flat_parts = [points[k].reshape(N, -1) for k in ("x", "y", "z")]

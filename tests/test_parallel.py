@@ -48,6 +48,37 @@ def test_sharded_msm_matches_host():
     assert got == msm_host(C, pts, scalars)
 
 
+@pytest.mark.slow
+def test_sharded_msm_dryrun_config():
+    """Pins the EXACT dryrun_multichip MSM configuration (c=8, device
+    argsort scheduling inside shard_map, 2^14 points, 8-device mesh) so
+    a regression in the sharded bucket loop fails here before it fails
+    in the driver's dryrun.  Oracle is exact host math: points are
+    k_i*G, so the MSM equals (sum k_i*s_i mod r)*G — one host mul.
+    (Round 2 regressed exactly this path: argsort indices don't carry
+    the shard_map varying axis, so a loop carry seeded from them was
+    replicated while the body output was varying.)"""
+    from contangle_zkcp_tpu.fields.bigint import ints_to_limbs
+    from contangle_zkcp_tpu.ops.fixed_base import FixedBaseDevice
+
+    C = ci.BLS12_381_G1
+    F = fi.bls12_381_fq()
+    dev = SWDevice(F, C)
+    rng = random.Random(74)
+    n = 1 << 14
+    fb = FixedBaseDevice(dev, C.generator, bits=255, c=8)
+    pt_scalars = [rng.randrange(1, C.order) for _ in range(n)]
+    pts = fb.mul_ints(pt_scalars)
+    scalars = [rng.randrange(C.order) for _ in range(n)]
+    scal = jax.numpy.asarray(ints_to_limbs(scalars, 16))
+    msm = MSM(dev, scalar_bits=255, c=8)
+    mesh = make_mesh(8)
+    smsm = ShardedMSM(msm, mesh)
+    got = smsm.run(pts, scal)
+    total = sum(a * b for a, b in zip(pt_scalars, scalars)) % C.order
+    assert got == C.mul(total, C.generator)
+
+
 def test_four_step_ntt_matches_single_chip():
     """Explicit Bailey four-step with all_to_all exchanges vs the
     single-chip pipeline, 8-device mesh, n=2^10 (n1=n2=32)."""
