@@ -3,14 +3,21 @@
 The n=196,608 trapdoor drive isolated the wrong stage to msm_b_g2
 (benchmarks/debug_196608.log): the G2 Pippenger engine at the 2^20-padded
 program shape.  This reproduces it standalone: points k_i*H from the G2
-fixed-base engine, witness-skew scalars (bits/bytes/wide mix like a real
-assignment), expected answer (sum s_i*k_i mod r)*H by host math.
+fixed-base engine, scalars per XCHECK_DIST, expected answer
+(sum s_i*k_i mod r)*H by host math (one host scalar-mul).
 
-Knobs: XCHECK_N (default 792330 = the failing query size), XCHECK_MODE
-(tpu|cpu), XCHECK_PEEL=0 disables heavy-bucket peeling, XCHECK_TWOLEVEL=0
-forces the single-level weighted reduction (if available).
+Knobs (env):
+  XCHECK_N        point count (default 792330 = the failing query size)
+  XCHECK_MODE     tpu|cpu
+  XCHECK_DIST     witness|uniform scalar distribution
+  XCHECK_C        window width (default: policy for g2 at N)
+  XCHECK_SIGNED   1|0 signed-digit recoding (default: policy)
+  XCHECK_PACKED   1|0|auto packed-row gathers (default auto = tpu)
+  XCHECK_PEEL     0 disables heavy-bucket peeling
+  XCHECK_CHUNK    0 disables the MAX_GATHER_BYTES chunk split
+  XCHECK_GROUP    g2|g1
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python -u benchmarks/xcheck_msm_g2.py
+Run: PYTHONPATH=/root/repo python -u benchmarks/xcheck_msm_g2.py
 """
 
 import os
@@ -37,15 +44,35 @@ def main():
         from contangle_zkcp_tpu.fields import fp as _fp
 
         _fp.PALLAS_ENABLED = False
-    from contangle_zkcp_tpu.groth16.groth16 import Groth16
+    from contangle_zkcp_tpu.groth16.groth16 import curve_ctx
+    from contangle_zkcp_tpu.ops.msm import MSM
+    from contangle_zkcp_tpu.ops.msm_policy import msm_config
 
     N = int(os.environ.get("XCHECK_N", "792330"))
-    eng = Groth16("bls12_381")
-    ctx = eng.ctx
+    group = os.environ.get("XCHECK_GROUP", "g2")
+    ctx = curve_ctx("bls12_381")
     r = ctx.r
-    g2d = ctx.g2_dev
-    H = ctx.g2_gen
-    print("backend", jax.default_backend(), "N", N, flush=True)
+    if group == "g2":
+        gd, gen = ctx.g2_dev, ctx.g2_gen
+    else:
+        gd, gen = ctx.g1_dev, ctx.g1.generator
+
+    pol = msm_config(group, N)
+    c = int(os.environ.get("XCHECK_C", str(pol.c)))
+    signed = os.environ.get("XCHECK_SIGNED", "1" if pol.signed else "0") == "1"
+    packed_env = os.environ.get("XCHECK_PACKED", "auto")
+    packed = None if packed_env == "auto" else packed_env == "1"
+    msm = MSM(gd, scalar_bits=r.bit_length(), c=c, signed=signed, packed=packed)
+    if os.environ.get("XCHECK_PEEL") == "0":
+        msm.HEAVY_CNT = 1 << 62  # never peel
+    if os.environ.get("XCHECK_CHUNK") == "0":
+        msm.MAX_GATHER_BYTES = 1 << 62
+    print(
+        f"backend {jax.default_backend()} N {N} {group} c={c} "
+        f"signed={signed} packed={packed_env} "
+        f"max_gather={msm.MAX_GATHER_BYTES}",
+        flush=True,
+    )
 
     rng = random.Random(0)
     # distinct small multipliers so host expected-answer math stays cheap
@@ -56,15 +83,15 @@ def main():
     t0 = time.time()
     # multipliers are < 2^20, so a 20-bit table suffices (CPU runs depend
     # on this staying cheap); chunk small for the big Fq2 coords
-    fb = FixedBaseDevice(g2d, H, bits=20, c=5, chunk=1 << 14)
+    fb = FixedBaseDevice(gd, gen, bits=20, c=5, chunk=1 << 14)
     pts = fb.mul_ints(ks)
-    print(f"fixed-base {N} G2 pts: {time.time()-t0:.1f}s", flush=True)
+    print(f"fixed-base {N} pts: {time.time()-t0:.1f}s", flush=True)
 
     import numpy as np
 
     dec_idx = [0, 1, N // 2, N - 1]
-    sel = g2d.decode_points({k: v[np.array(dec_idx)] for k, v in pts.items()})
-    ok_fb = all(sel[i] == g2d.host_mul(ks[j], H) for i, j in enumerate(dec_idx))
+    sel = gd.decode_points({k: v[np.array(dec_idx)] for k, v in pts.items()})
+    ok_fb = all(sel[i] == gd.host_mul(ks[j], gen) for i, j in enumerate(dec_idx))
     print("fixed-base spot check:", ok_fb, flush=True)
 
     def witness_scalar():
@@ -85,15 +112,12 @@ def main():
         ss = [rng.randrange(r) for _ in range(N)]
     else:
         ss = [witness_scalar() for _ in range(N)]
-    msm = ctx.msm_g2(N)
-    if os.environ.get("XCHECK_PEEL") == "0":
-        msm.HEAVY_CNT = 1 << 62  # never peel
     t0 = time.time()
     got = msm.run(pts, ss)
     print(f"msm ran: {time.time()-t0:.1f}s", flush=True)
     want_k = sum(s * k for s, k in zip(ss, ks)) % r
-    want = g2d.host_mul(want_k, H)
-    print("G2 msm exact:", got == want, flush=True)
+    want = gd.host_mul(want_k, gen)
+    print("msm exact:", got == want, flush=True)
 
 
 if __name__ == "__main__":

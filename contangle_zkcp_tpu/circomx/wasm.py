@@ -360,7 +360,18 @@ class Instance:
         kind, idx = self.m.exports[name]
         if kind != 0:
             raise WasmTrap(f"export {name} is not a function")
-        res = self.call_index(idx, list(args))
+        # call/call_indirect recurse through Python frames; production
+        # circom modules (deep component chains, e.g. zkPhoto) can blow
+        # the default 1000-frame limit — give them headroom and surface
+        # exhaustion as a trap instead of a raw RecursionError
+        import sys
+
+        if sys.getrecursionlimit() < 100_000:
+            sys.setrecursionlimit(100_000)
+        try:
+            res = self.call_index(idx, list(args))
+        except RecursionError as e:
+            raise WasmTrap("call stack exhausted") from e
         if not res:
             return None
         return res[0] if len(res) == 1 else tuple(res)
@@ -442,6 +453,13 @@ class Instance:
                     depth = tbl[sel] if 0 <= sel < len(tbl) - 1 else tbl[-1]
                 else:
                     depth = ins[1]
+                if depth == len(labels):
+                    # branch to the implicit function-body label: acts
+                    # as a return (valid MVP wasm; real circom-emitted
+                    # modules contain function-level branches)
+                    return (
+                        stack[len(stack) - n_results :] if n_results else []
+                    )
                 is_loop, tgt, arity, height, _end = labels[
                     len(labels) - 1 - depth
                 ]
@@ -528,7 +546,19 @@ class Instance:
         return stack[len(stack) - n_results :] if n_results else []
 
 
+_LOAD_WIDTH = {
+    0x28: 4, 0x29: 8, 0x2C: 1, 0x2D: 1, 0x2E: 2, 0x2F: 2,
+    0x30: 1, 0x31: 1, 0x32: 2, 0x33: 2, 0x34: 4, 0x35: 4,
+}
+_STORE_WIDTH = {0x36: 4, 0x37: 8, 0x3A: 1, 0x3B: 2, 0x3C: 1, 0x3D: 2, 0x3E: 4}
+
+
 def _load(mem: bytearray, op: int, a: int) -> int:
+    # spec-compliant trap: Python short slices would otherwise return a
+    # truncated value for multi-byte loads near the end of memory
+    w = _LOAD_WIDTH.get(op)
+    if w is not None and a + w > len(mem):
+        raise WasmTrap("out-of-bounds load")
     try:
         if op == 0x28:
             return int.from_bytes(mem[a : a + 4], "little")
@@ -567,6 +597,11 @@ def _load(mem: bytearray, op: int, a: int) -> int:
 
 
 def _store(mem: bytearray, op: int, a: int, v: int) -> None:
+    # spec-compliant trap: slice assignment past len(mem) would silently
+    # extend the bytearray at the wrong position instead of trapping
+    w = _STORE_WIDTH.get(op)
+    if w is not None and a + w > len(mem):
+        raise WasmTrap("out-of-bounds store")
     if op == 0x36:
         mem[a : a + 4] = (v & MASK32).to_bytes(4, "little")
     elif op == 0x37:

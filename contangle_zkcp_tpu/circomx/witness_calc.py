@@ -110,9 +110,15 @@ class WitnessCalculator:
                     self.inst.invoke("setInputSignal", h_msb, h_lsb, pos)
                 except WasmTrap as e:
                     raise ProofError(f"signal {name}[{pos}]: {e}") from e
-        size = self.inst.invoke("getWitnessSize")
-        out = []
-        for i in range(size):
-            self.inst.invoke("getWitness", i)
-            out.append(self._read_shared())
+        # consistent error surface: size/getWitness traps (e.g. circom
+        # error 5 "not enough input signals set" when a caller omits an
+        # input) surface as ProofError, mirroring the setInputSignal path
+        try:
+            size = self.inst.invoke("getWitnessSize")
+            out = []
+            for i in range(size):
+                self.inst.invoke("getWitness", i)
+                out.append(self._read_shared())
+        except WasmTrap as e:
+            raise ProofError(f"witness extraction: {e}") from e
         return out

@@ -269,6 +269,60 @@ def test_unreachable_traps():
         inst.invoke("boom")
 
 
+def test_branch_to_function_label_returns():
+    """br/br_if with depth == len(labels) targets the implicit
+    function-body label — a function return in MVP wasm (real
+    circom-emitted modules branch at function level)."""
+    # f(x) -> i32:  i32.const 42; block {{ local.get 0; br_if 1 }};
+    #               drop; i32.const 7
+    body = (
+        i32c(42)
+        + b"\x02\x40"  # block (void)
+        + lget(0)
+        + b"\x0d\x01"  # br_if 1  (function label)
+        + b"\x0b"  # end
+        + b"\x1a"  # drop
+        + i32c(7)
+    )
+    inst = Instance(
+        parse_module(simple_module([("f", [I32], [I32], [], body)]))
+    )
+    assert inst.invoke("f", 1) == 42  # taken: early return
+    assert inst.invoke("f", 0) == 7  # not taken: fall through
+    # unconditional br at function depth, no enclosing block at all
+    body2 = i32c(9) + b"\x0c\x00" + i32c(5)  # br 0 == return
+    inst2 = Instance(
+        parse_module(simple_module([("g", [], [I32], [], body2)]))
+    )
+    assert inst2.invoke("g") == 9
+
+
+def test_out_of_bounds_memory_traps():
+    """Multi-byte loads/stores straddling the end of memory must trap,
+    not return truncated values / silently extend the bytearray."""
+    # 1 page = 65536 bytes; i32 access at 65534 straddles the boundary
+    ld = i32c(65534) + load32() + b"\x1a"
+    st = i32c(65534) + i32c(7) + store32()
+    inst = Instance(
+        parse_module(
+            simple_module(
+                [("ld", [], [], [], ld), ("st", [], [], [], st)]
+            )
+        )
+    )
+    with pytest.raises(WasmTrap, match="out-of-bounds"):
+        inst.invoke("ld")
+    with pytest.raises(WasmTrap, match="out-of-bounds"):
+        inst.invoke("st")
+    assert len(inst.mem) == 65536  # store must not have extended memory
+    # in-bounds accesses at the last valid word still work
+    ok = i32c(65532) + i32c(123) + store32() + i32c(65532) + load32()
+    inst2 = Instance(
+        parse_module(simple_module([("ok", [], [I32], [], ok)]))
+    )
+    assert inst2.invoke("ok") == 123
+
+
 # ---------------------------------------------------------------- circom ABI
 def test_witness_calculator_fixture():
     calc = WitnessCalculator(build_module())
