@@ -95,6 +95,30 @@ def test_wallet_keystore_roundtrip(tmp_path):
     assert w.address().hex() == "2c7536e3605d9c16a7a3d7b1898e529396a65c23"
 
 
+def test_wallet_from_bip39_golden():
+    """Mnemonic recovery at m/44'/60'/0'/0/0, the reference's
+    keypair_from_bip39 (/root/reference/lib/src/utils.rs:38-50, ethers
+    MnemonicBuilder default path).  Golden vector: the universally-known
+    hardhat/anvil dev mnemonic -> account #0 key and address."""
+    from contangle_zkcp_tpu.zkcp.wallet import keypair_from_bip39
+
+    phrase = "test test test test test test test test test test test junk"
+    sk, pk = keypair_from_bip39(phrase)
+    assert (
+        hex(sk)
+        == "0xac0974bec39a17e36ba4a6b4d238ff944bacb478cbed5efcae784d7bf4f2ff80"
+    )
+    w = LocalWallet.from_bip39(phrase)
+    assert w.address().hex() == "f39fd6e51aad88f6f4ce6ab8827279cfffb92266"
+    assert w.pk == pk
+    # shape validation: wrong word count rejected
+    try:
+        keypair_from_bip39("only three words")
+        assert False, "bad word count accepted"
+    except Exception:
+        pass
+
+
 def test_eip155_recid_and_mock_chain():
     rng = random.Random(53)
     w = LocalWallet.new(rng)
