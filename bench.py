@@ -1,12 +1,19 @@
-"""Benchmark driver: Pippenger MSM throughput on the real chip.
+"""Benchmark driver: Pippenger MSM + NTT throughput on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (the
+headline MSM figure) plus extra keys ("ntt_*") capturing the NTT rate —
+BASELINE.md names both "MSM points/sec AND NTT elems/sec at 2^20-2^24".
 The reference publishes no measured numbers (BASELINE.md), so
 `vs_baseline` is reported against the north-star single-chip
-speed-of-light estimate for the same op (fraction of SOL, where 1.0 means
-the >=90% target is exceeded by 10/9).
+speed-of-light estimate for the same op (fraction of SOL, where 1.0
+means the >=90% target is exceeded by 10/9).
 
-Env knobs: BENCH_MSM_LOG2 (default 16), BENCH_MSM_C (window bits, default 10).
+Points are COLD: n distinct group elements materialized on device
+(fixed-base seeds x one batched offset add), not a small tiled working
+set, so the bucket loop's gathers pay real HBM traffic.
+
+Env knobs: BENCH_MSM_LOG2 (default 22), BENCH_MSM_C (default 16),
+BENCH_NTT_LOG2 (default 22), BENCH_SKIP_NTT=1.
 """
 
 import json
@@ -17,7 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
+def msm_bench():
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -25,11 +32,9 @@ def main():
     from contangle_zkcp_tpu.curves import instances as ci
     from contangle_zkcp_tpu.curves.weierstrass import SWDevice
     from contangle_zkcp_tpu.fields import instances as fi
-    from contangle_zkcp_tpu.ops.msm import MSM, digits_from_limbs
+    from contangle_zkcp_tpu.ops.fixed_base import FixedBaseDevice
+    from contangle_zkcp_tpu.ops.msm import MSM
 
-    # defaults: the headline config (alias-spread schedule keeps the
-    # bucket loop's trip count ~N/2^c regardless of the top window, and
-    # the compiled program for this shape is in the persistent cache)
     log2n = int(os.environ.get("BENCH_MSM_LOG2", "22"))
     c = int(os.environ.get("BENCH_MSM_C", "16"))
     signed = os.environ.get("BENCH_MSM_SIGNED", "1") == "1"
@@ -40,27 +45,35 @@ def main():
     dev = SWDevice(Fq, C)
     msm = MSM(dev, scalar_bits=255, c=c, signed=signed)
 
-    # synthetic points: random multiples of G materialized cheaply on device
-    # (one batched scalar-mul), random 255-bit scalars
+    # cold distinct points: 2^16 fixed-base seeds (distinct 30-bit
+    # scalars) crossed with up to 64 distinct offsets via ONE batched
+    # complete add -> n distinct rows in HBM.
     rng = np.random.RandomState(42)
-    seed_scalars = [int.from_bytes(rng.bytes(31), "little") | 1 for _ in range(256)]
-    seeds = dev.scalar_mul_ints(
-        dev.encode_points([C.generator] * 256), seed_scalars, 255
-    )
-    # tile the 256 distinct points to n (duplicates exercise the same math)
-    reps = n // 256
-    points = {k: jnp.tile(v, (reps,) + (1,) * (v.ndim - 1)) for k, v in seeds.items()}
-    scalars = np.zeros((n, 16), dtype=np.uint32)
+    n_seed = min(n, 1 << 16)
+    seeds_k = [int(x) | 1 for x in rng.randint(1, 1 << 30, size=n_seed)]
+    fb = FixedBaseDevice(dev, C.generator, bits=30, c=6, chunk=1 << 14)
+    seeds = fb.mul_ints(seeds_k)
+    reps = n // n_seed
+    if reps > 1:
+        offs_k = [int(x) | 1 for x in rng.randint(1 << 30, 1 << 40, size=reps)]
+        offs = fb.mul_ints(offs_k)
+        crossed = dev.add(
+            {k: v[:, None] for k, v in seeds.items()},
+            {k: v[None, :reps] for k, v in offs.items()},
+        )
+        points = {
+            k: v.reshape((n,) + v.shape[2:]) for k, v in crossed.items()
+        }
+    else:
+        points = {k: v[:n] for k, v in seeds.items()}
     raw = rng.randint(0, 1 << 16, size=(n, 16)).astype(np.uint32)
     raw[:, -1] &= 0x7FFF
-    scalars = jnp.asarray(raw)
+    scal_np = raw
 
     # split into the same power-of-two chunks MSM.run uses, so the timed
     # program is the production one AND the packed gather source stays
-    # under MAX_GATHER_BYTES (2^22 G1 rows = 2^31 bytes unchunked, past
-    # the bound where the bucket gather goes wrong; ops/msm.py note).
+    # under MAX_GATHER_BYTES (ops/msm.py note).
     chunk = min(n, msm._chunk_rows(points))
-    scal_np = np.asarray(scalars)
     parts = []
     for lo in range(0, n, chunk):
         pc = {k: v[lo : lo + chunk] for k, v in points.items()}
@@ -86,16 +99,12 @@ def main():
         for _ in range(iters):
             for pc, order, start, cnt, sgn_d in parts:
                 if sgn_d is None:
-                    out = msm._bucket_scheduled_impl(
-                        pc, order, start, cnt + dep
-                    )
+                    out = msm._bucket_scheduled_impl(pc, order, start, cnt + dep)
                 else:
                     out = msm._bucket_scheduled_signed_impl(
                         pc, order, start, cnt + dep, sgn_d
                     )
-                dep = (out["x"].reshape(-1)[0] & jnp.uint32(0)).astype(
-                    jnp.int32
-                )
+                dep = (out["x"].reshape(-1)[0] & jnp.uint32(0)).astype(jnp.int32)
         return out
 
     iters = int(os.environ.get("BENCH_MSM_ITERS", "2"))
@@ -106,7 +115,41 @@ def main():
     dt = (time.time() - t0) / iters
     # amortized over `iters` device-chained MSMs with a single host fetch:
     # the relay's dispatch/fetch overhead shrinks to 1/iters of the figure.
-    pts_per_sec = n / dt
+    return log2n, n / dt
+
+
+def ntt_bench():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from contangle_zkcp_tpu.fields import instances as fi
+    from contangle_zkcp_tpu.ops.ntt import NTT
+
+    log2n = int(os.environ.get("BENCH_NTT_LOG2", "22"))
+    iters = int(os.environ.get("BENCH_NTT_ITERS", "4"))
+    n = 1 << log2n
+    F = fi.bls12_381_fr()
+    eng = NTT(F, n)
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 1 << 16, size=(n, F.L)).astype(np.uint32)
+    a[:, -1] = 0
+    a_d = jnp.asarray(a)
+
+    def chained(a, iters):
+        for _ in range(iters):
+            a = eng.forward(a)
+        return a
+
+    _ = jax.device_get(chained(a_d, iters)[0, 0])  # compile + warm
+    t0 = time.time()
+    _ = jax.device_get(chained(a_d, iters)[0, 0])
+    dt = (time.time() - t0) / iters
+    return log2n, n / dt
+
+
+def main():
+    msm_log2, msm_rate = msm_bench()
 
     # SOL estimate for this chip (documented in benchmarks/SOL.md):
     # bucket phase ~= 1 complete EC add per point = 12 field muls; one
@@ -114,16 +157,19 @@ def main():
     # 6.9e3 MXU f32 FLOPs (L=24); v5e ~197e12 f32 FLOP/s (bf16x6 ~1/6)
     # => ~3.3e12 effective / (12 * 6.9e3) ~ 40e6 points/s ceiling.
     sol_pts_per_sec = 40e6
-    print(
-        json.dumps(
-            {
-                "metric": f"bls12_381_g1_msm_2^{log2n}_points_per_sec",
-                "value": round(pts_per_sec, 1),
-                "unit": "points/s",
-                "vs_baseline": round(pts_per_sec / sol_pts_per_sec, 4),
-            }
-        )
-    )
+    out = {
+        "metric": f"bls12_381_g1_msm_2^{msm_log2}_points_per_sec",
+        "value": round(msm_rate, 1),
+        "unit": "points/s",
+        "vs_baseline": round(msm_rate / sol_pts_per_sec, 4),
+    }
+    if os.environ.get("BENCH_SKIP_NTT") != "1":
+        try:
+            ntt_log2, ntt_rate = ntt_bench()
+            out[f"ntt_2^{ntt_log2}_elems_per_sec"] = round(ntt_rate, 1)
+        except Exception as e:  # NTT failure must not hide the MSM figure
+            out["ntt_error"] = str(e)[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -13,10 +13,11 @@ of the two structured-communication kernels:
     all-reduce of window partials) vs the single-device MSM engine.
 
 Caveat recorded with the numbers: virtual devices share the host's
-physical cores AND XLA:CPU already multithreads single-device ops, so
-the single-device baseline is not serial — the efficiency figure below
-is a LOWER bound on what distinct chips (private VMEM/HBM, ICI
-collectives) would show.
+physical cores (THIS CONTAINER HAS 4) AND XLA:CPU already multithreads
+single-device ops, so the single-device baseline is not serial — the
+efficiency figure below is a LOWER bound on what distinct chips
+(private VMEM/HBM, ICI collectives) would show, and device counts
+beyond the physical core count mostly measure oversubscription.
 
 Run: BENCH_SCALING_DEVICES=4 python -u benchmarks/bench_scaling.py
 """
@@ -94,6 +95,8 @@ def main():
     )
 
     # ---------------- MSM: single-device engine vs sharded on N devices
+    if os.environ.get("BENCH_SCALING_SKIP_MSM") == "1":
+        return
     n_pts = 1 << int(os.environ.get("BENCH_SCALING_MSM_LOG2", "14"))
     dev = SWDevice(Fq, ci.BLS12_381_G1)
     fb = FixedBaseDevice(dev, ci.BLS12_381_G1.generator, bits=255, c=8)

@@ -112,8 +112,27 @@ class MSM:
         self._bucket_phase = jax.jit(self._bucket_phase_impl)
         self._bucket_sched = jax.jit(self._bucket_scheduled_impl)
         self._bucket_sched_s = jax.jit(self._bucket_scheduled_signed_impl)
+        # debug entries: raw bucket grid, no fold/reduction
+        self._bucket_acc = jax.jit(
+            lambda p, o, s, ct: self._bucket_accumulate(
+                p, o, s, ct, o.shape[1]
+            )
+        )
+        self._bucket_acc_s = jax.jit(
+            lambda p, o, s, ct, g: self._bucket_accumulate(
+                p, o, s, ct, o.shape[1], sgn=g
+            )
+        )
         self._tree_rows = jax.jit(self._tree_rows_impl)
         self._tree_rows_s = jax.jit(self._tree_rows_signed_impl)
+        # debug entries: fold / weighted-reduce alone (scale debugging
+        # bisects the compiled pipeline stage by stage)
+        self._fold_dbg = jax.jit(self._fold_aliases)
+        self._reduce_dbg = jax.jit(
+            lambda a: self._weighted_reduce(
+                a, jnp.uint32(0), signed=self.signed
+            )
+        )
 
     # ---------------------------------------------------------- scheduling
     def host_schedule(self, scalars_limbs):
@@ -269,7 +288,12 @@ class MSM:
             points, order, start, cnt, order.shape[1], sgn=sgn
         )
 
-    def _bucket_loop(self, points, order, start, cnt, N, sgn=None):
+    def _bucket_accumulate(self, points, order, start, cnt, N, sgn=None):
+        """The O(N) phase alone: returns the raw (K, nb) bucket grid
+        after the lockstep gather/add loop, BEFORE alias folding and the
+        weighted reduction.  Split out so scale debugging can check
+        every bucket sum against host math (each bucket's expected value
+        is just the sum of its points)."""
         dev, c, K = self.dev, self.c, self.K
         nb = self.nb
         max_cnt = jnp.max(cnt)
@@ -346,10 +370,21 @@ class MSM:
             return s < max_cnt
 
         _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc))
+        return acc
 
-        # fold alias lanes (j*m + b -> b) with masked halving adds; lanes
-        # >= m_k are reset to the identity so the weighted reduction sees
-        # zero contribution from them
+    def _bucket_loop(self, points, order, start, cnt, N, sgn=None):
+        acc = self._bucket_accumulate(points, order, start, cnt, N, sgn)
+        # data-derived zero for varying-axis init under shard_map (see
+        # _bucket_accumulate)
+        vzero = (points["x"].reshape(-1)[0] * 0).astype(jnp.uint32)
+        acc = self._fold_aliases(acc)
+        return self._weighted_reduce(acc, vzero, signed=sgn is not None)
+
+    def _fold_aliases(self, acc):
+        """Fold alias lanes (j*m + b -> b) with masked halving adds; lanes
+        >= m_k are reset to the identity so the weighted reduction sees
+        zero contribution from them."""
+        dev, K, nb = self.dev, self.K, self.nb
         min_m = min(self.window_m)
         w = nb
         while w // 2 >= min_m and w > 1:
@@ -371,7 +406,10 @@ class MSM:
                 for k2 in acc
             }
             w = half
+        return acc
 
+    def _weighted_reduce(self, acc, vzero, signed: bool):
+        dev, K, nb = self.dev, self.K, self.nb
         # weighted bucket reduction sum_b b*S_b, two-level: write the
         # digit b = hi*H + lo (H = 2^(c/2)), so
         #   sum_b b*S_b = H * sum_hi hi*T_hi + sum_lo lo*U_lo,
@@ -437,7 +475,7 @@ class MSM:
             return total
 
         s_hi = weighted(T_hi, G)
-        s_lo = weighted(U_lo, Hf, offset=1 if sgn is not None else 0)
+        s_lo = weighted(U_lo, Hf, offset=1 if signed else 0)
         for _ in range(cl):  # s_hi *= H
             s_hi = dev.add(s_hi, s_hi)
         return dev.add(s_hi, s_lo)  # leading axis K

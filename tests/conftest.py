@@ -27,13 +27,16 @@ jax.config.update("jax_platforms", "cpu")
 # test processes so only the first-ever run pays.
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
-# READ-ONLY cache policy: XLA:CPU's `executable.serialize()` segfaults
-# deterministically on the current MSM bucket program (reproduced on a
-# fresh cache dir — jaxlib bug, crash inside put_executable_and_time),
-# so tests only consume pre-existing entries and never write.  Changed
-# programs recompile per run; that is slow but cannot take the
-# interpreter down mid-suite.
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+# Cache-write policy: round 1/2 saw XLA:CPU's `executable.serialize()`
+# segfault on an MSM bucket program (crash inside
+# put_executable_and_time), so the default stayed read-only.  Round 3
+# re-tested writes on the current programs without a crash, so writes
+# are now opt-in: run once with ZKCP_CACHE_WRITE=1 to (re)populate the
+# cache after changing device code, then normal runs consume it.
+if os.environ.get("ZKCP_CACHE_WRITE") == "1":
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+else:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # NOTE: do NOT enable jax_persistent_cache_enable_xla_caches="all" here.
 # The embedded XLA:CPU AOT kernel cache pins host CPU features into the
