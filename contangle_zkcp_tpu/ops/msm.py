@@ -133,6 +133,15 @@ class MSM:
                 a, jnp.uint32(0), signed=self.signed
             )
         )
+        # staged single-chip pipeline (see run(): TPU dispatches the
+        # fold/reduce phases as SEPARATE programs)
+        self._tree_level_st = jax.jit(
+            self._tree_level, static_argnames=("axis",)
+        )
+        self._weighted_st = jax.jit(
+            self._weighted_run, static_argnames=("offset",)
+        )
+        self._final_st = jax.jit(self._final_combine, static_argnames=("cl",))
 
     # ---------------------------------------------------------- scheduling
     def host_schedule(self, scalars_limbs):
@@ -480,6 +489,89 @@ class MSM:
             s_hi = dev.add(s_hi, s_hi)
         return dev.add(s_hi, s_lo)  # leading axis K
 
+    # ------------------------------------------------- staged TPU pipeline
+    # XLA:TPU miscompiles the composed fold/reduce program at wide G2
+    # geometries: the bucket grid, the alias fold, and every SINGLE tree
+    # level are bit-exact standalone, but >= 6 chained tree-reduction
+    # levels in ONE compiled program return wrong limbs — and
+    # optimization_barrier between levels does not help, pointing at a
+    # whole-program (buffer assignment) defect rather than fusion
+    # (benchmarks/xcheck_ulo_levels.log: depth5 PASS, depth6 FAIL,
+    # barrier FAIL; xcheck_final_level.log: the same final level from a
+    # fresh buffer PASSES).  The single-chip TPU path therefore runs the
+    # cheap reduce phases as SEPARATE dispatches (~14 small programs,
+    # negligible next to the bucket loop) while CPU and the shard_map
+    # path keep the fused formulation.
+    def _tree_level(self, pts, axis: int):
+        """One halving tree-reduction level along `axis`."""
+        dev = self.dev
+        t = pts["x"].shape[axis]
+        half = t // 2
+        lo = {
+            k: jax.lax.slice_in_dim(v, 0, half, axis=axis)
+            for k, v in pts.items()
+        }
+        hi = {
+            k: jax.lax.slice_in_dim(v, half, t, axis=axis)
+            for k, v in pts.items()
+        }
+        return dev.add(lo, hi)
+
+    def _weighted_run(self, S, offset: int = 0):
+        """sum_b (b + offset) * S_b over the (K, nb_) grid S."""
+        dev, K = self.dev, self.K
+        nb_ = S["x"].shape[1]
+        running = dev.identity((K,))
+        total = dev.identity((K,))
+
+        def rbody(i, carry):
+            running, total = carry
+            b = nb_ - 1 - i
+            Sb = {
+                k: jax.lax.dynamic_index_in_dim(
+                    S[k], b, axis=1, keepdims=False
+                )
+                for k in S
+            }
+            running = dev.add(running, Sb)
+            total = dev.add(total, running)
+            return (running, total)
+
+        _, total = jax.lax.fori_loop(
+            0, nb_ - 1 + offset, rbody, (running, total)
+        )
+        return total
+
+    def _final_combine(self, s_hi, s_lo, cl: int):
+        dev = self.dev
+        for _ in range(cl):  # s_hi *= 2^cl
+            s_hi = dev.add(s_hi, s_hi)
+        return dev.add(s_hi, s_lo)
+
+    def _staged_windows(self, acc):
+        """Host-orchestrated fold + weighted reduction: each phase its
+        own compiled program (TPU single-chip path)."""
+        K, nb = self.K, self.nb
+        acc = self._fold_dbg(acc)
+        nbits = nb.bit_length() - 1
+        cl = nbits // 2
+        ch = nbits - cl
+        G, Hf = 1 << ch, 1 << cl
+        grid = {
+            k: v.reshape((K, G, Hf) + v.shape[2:]) for k, v in acc.items()
+        }
+        T_hi = grid
+        while T_hi["x"].shape[2] > 1:
+            T_hi = self._tree_level_st(T_hi, axis=2)
+        T_hi = {k: jnp.squeeze(v, axis=2) for k, v in T_hi.items()}
+        U_lo = grid
+        while U_lo["x"].shape[1] > 1:
+            U_lo = self._tree_level_st(U_lo, axis=1)
+        U_lo = {k: jnp.squeeze(v, axis=1) for k, v in U_lo.items()}
+        s_hi = self._weighted_st(T_hi, offset=0)
+        s_lo = self._weighted_st(U_lo, offset=1 if self.signed else 0)
+        return self._final_st(s_hi, s_lo, cl)
+
     # ------------------------------------------------------ heavy buckets
     # Real witness vectors are nothing like uniform: R1CS assignments are
     # dominated by 0/1 bits and small bytes, so a handful of low-window
@@ -690,21 +782,27 @@ class MSM:
             heavy = self._extract_heavy(points, order, start, cnt)
         metrics.count("msm.points", n)
         metrics.gauge("msm.heavy_buckets", len(heavy))
-        if self.signed:
+        order_d, start_d, cnt_d = (
+            jnp.asarray(order),
+            jnp.asarray(start),
+            jnp.asarray(cnt),
+        )
+        if _backend() == "tpu":
+            # staged dispatches dodge the composed-program miscompile
+            # (see _staged_windows)
+            if self.signed:
+                acc = self._bucket_acc_s(
+                    points, order_d, start_d, cnt_d, jnp.asarray(sgn)
+                )
+            else:
+                acc = self._bucket_acc(points, order_d, start_d, cnt_d)
+            windows = self._staged_windows(acc)
+        elif self.signed:
             windows = self._bucket_sched_s(
-                points,
-                jnp.asarray(order),
-                jnp.asarray(start),
-                jnp.asarray(cnt),
-                jnp.asarray(sgn),
+                points, order_d, start_d, cnt_d, jnp.asarray(sgn)
             )
         else:
-            windows = self._bucket_sched(
-                points,
-                jnp.asarray(order),
-                jnp.asarray(start),
-                jnp.asarray(cnt),
-            )
+            windows = self._bucket_sched(points, order_d, start_d, cnt_d)
         wpts = dev.decode_points(windows)
         res = self._combine_host(wpts)
         for k, b, pt in heavy:

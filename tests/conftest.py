@@ -27,12 +27,14 @@ jax.config.update("jax_platforms", "cpu")
 # test processes so only the first-ever run pays.
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
-# Cache-write policy: round 1/2 saw XLA:CPU's `executable.serialize()`
-# segfault on an MSM bucket program (crash inside
-# put_executable_and_time), so the default stayed read-only.  Round 3
-# re-tested writes on the current programs without a crash, so writes
-# are now opt-in: run once with ZKCP_CACHE_WRITE=1 to (re)populate the
-# cache after changing device code, then normal runs consume it.
+# Cache-write policy: XLA:CPU's `executable.serialize()` segfaults
+# deterministically on MSM bucket programs (crash inside
+# put_executable_and_time; re-reproduced round 3 at
+# test_circom.py::test_dummy_groth16_over_bn254), so the default is
+# READ-ONLY: tests consume pre-existing entries and never write.
+# ZKCP_CACHE_WRITE=1 opts into writes to repopulate the cache for
+# non-MSM programs — expect the suite to die at the first Groth16
+# prove; run targeted files, not the whole suite, in that mode.
 if os.environ.get("ZKCP_CACHE_WRITE") == "1":
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 else:
