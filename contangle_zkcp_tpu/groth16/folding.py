@@ -176,20 +176,31 @@ class FoldingScheme:
             return b"\x00" * 49
         return bytes([2 + (P[1] & 1)]) + P[0].to_bytes(48, "big")
 
-    def fold(self, i1, w1, i2, w2):
-        """(U1, W1) x (U2, W2) -> (U, W) with Fiat-Shamir challenge."""
+    def cross_term(self, i1, w1, i2, w2):
+        """The Nova cross term T (length-nc vector) for one fold."""
         p = self.p
-        C = ci.BLS12_381_G1
         z1 = self._z(i1, w1)
         z2 = self._z(i2, w2)
         az1, bz1, cz1 = (self._mat_vec(m, z1) for m in (self.A, self.B, self.C))
         az2, bz2, cz2 = (self._mat_vec(m, z2) for m in (self.A, self.B, self.C))
-        T = [
+        return [
             (az1[i] * bz2[i] + az2[i] * bz1[i] - i1.u * cz2[i] - i2.u * cz1[i])
             % p
             for i in range(self.nc)
         ]
+
+    def fold(self, i1, w1, i2, w2):
+        """(U1, W1) x (U2, W2) -> (U, W) with Fiat-Shamir challenge."""
+        T = self.cross_term(i1, w1, i2, w2)
         comm_t = self._commit(self.bases_e, T)
+        return self.fold_with_comm(i1, w1, i2, w2, T, comm_t)
+
+    def fold_with_comm(self, i1, w1, i2, w2, T, comm_t):
+        """Combine step with a precomputed cross-term commitment — lets
+        a pipeline batch many cross-term MSMs (parallel/fold_pipeline)
+        while the Fiat-Shamir transcript stays identical to fold()."""
+        p = self.p
+        C = ci.BLS12_381_G1
         rho = (
             int.from_bytes(
                 hashlib.sha256(

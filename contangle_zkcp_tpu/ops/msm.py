@@ -787,22 +787,18 @@ class MSM:
             jnp.asarray(start),
             jnp.asarray(cnt),
         )
-        if _backend() == "tpu":
-            # staged dispatches dodge the composed-program miscompile
-            # (see _staged_windows)
-            if self.signed:
-                acc = self._bucket_acc_s(
-                    points, order_d, start_d, cnt_d, jnp.asarray(sgn)
-                )
-            else:
-                acc = self._bucket_acc(points, order_d, start_d, cnt_d)
-            windows = self._staged_windows(acc)
-        elif self.signed:
-            windows = self._bucket_sched_s(
+        # staged dispatches on every backend: they dodge the TPU
+        # composed-program miscompile (see _staged_windows) AND keep each
+        # XLA:CPU compile small — the fused program's unrolled fold+reduce
+        # HLO took 14+ min and multi-GB of compiler memory on CPU.  The
+        # fused entries remain for the shard_map path (_bucket_phase).
+        if self.signed:
+            acc = self._bucket_acc_s(
                 points, order_d, start_d, cnt_d, jnp.asarray(sgn)
             )
         else:
-            windows = self._bucket_sched(points, order_d, start_d, cnt_d)
+            acc = self._bucket_acc(points, order_d, start_d, cnt_d)
+        windows = self._staged_windows(acc)
         wpts = dev.decode_points(windows)
         res = self._combine_host(wpts)
         for k, b, pt in heavy:
