@@ -50,8 +50,17 @@ def msm_bench():
     # complete add -> n distinct rows in HBM.
     rng = np.random.RandomState(42)
     n_seed = min(n, 1 << 16)
+    if n_seed == n and n >= 4:
+        # always take the crossed-offsets path (reps >= 2) so the tiny
+        # smoke-tier invocation exercises the same code as the real run
+        # (the round-3 bench crash lived only in the reps>1 branch).
+        n_seed = n // 2
     seeds_k = [int(x) | 1 for x in rng.randint(1, 1 << 30, size=n_seed)]
-    fb = FixedBaseDevice(dev, C.generator, bits=30, c=6, chunk=1 << 14)
+    # bits=40: offsets below are drawn in [2^30, 2^40) — the table must
+    # cover the widest scalar fed to it (a 30-bit table raised
+    # ints_to_limbs OverflowError; a 30-bit *digit* count would silently
+    # truncate).
+    fb = FixedBaseDevice(dev, C.generator, bits=40, c=6, chunk=1 << 14)
     seeds = fb.mul_ints(seeds_k)
     reps = n // n_seed
     if reps > 1:
@@ -69,6 +78,47 @@ def msm_bench():
     raw = rng.randint(0, 1 << 16, size=(n, 16)).astype(np.uint32)
     raw[:, -1] &= 0x7FFF
     scal_np = raw
+
+    if os.environ.get("BENCH_SELFCHECK", "1") == "1":
+        # host-math self-check of the EXACT benched code path on a small
+        # prefix: the round-2 bench once produced a wrong-flattering
+        # number and the round-3 one crashed unrun — a bench that prints
+        # a figure must first prove the figure's engine is computing the
+        # right group element on this data.
+        m = min(n, 256)
+        pre = {k: v[:m] for k, v in points.items()}
+        if signed:
+            o, s0, ct, sg = msm.host_schedule_signed(scal_np[:m])
+            win = msm._bucket_sched_s(
+                pre,
+                jnp.asarray(o),
+                jnp.asarray(s0),
+                jnp.asarray(ct),
+                jnp.asarray(sg),
+            )
+        else:
+            o, s0, ct = msm.host_schedule(scal_np[:m])
+            win = msm._bucket_sched(
+                pre, jnp.asarray(o), jnp.asarray(s0), jnp.asarray(ct)
+            )
+        got = msm._combine_host(dev.decode_points(win))
+        exp = None
+        for P, row in zip(dev.decode_points(pre), scal_np[:m]):
+            k_int = sum(int(x) << (16 * j) for j, x in enumerate(row))
+            exp = C.add(exp, C.mul(k_int, P))
+        if got != exp:
+            print(
+                json.dumps(
+                    {
+                        "metric": "bench_selfcheck_failed",
+                        "value": 0,
+                        "unit": "bool",
+                        "vs_baseline": 0,
+                        "error": f"MSM {m}-point prefix mismatch vs host math",
+                    }
+                )
+            )
+            sys.exit(1)
 
     # split into the same power-of-two chunks MSM.run uses, so the timed
     # program is the production one AND the packed gather source stays

@@ -37,4 +37,14 @@ for f in "${FILES[@]}"; do
     fail=1
   fi
 done
+
+# bench.py tiny-shape run (CPU): the round-3 bench crashed at snapshot
+# because nothing ever executed it.  This catches crashes AND (via the
+# built-in host-math self-check) wrong results, in seconds.
+echo "=== bench.py (tiny smoke, cpu)"
+if ! timeout 900 env JAX_PLATFORMS=cpu BENCH_MSM_LOG2=10 BENCH_NTT_LOG2=10 \
+    BENCH_MSM_ITERS=1 BENCH_NTT_ITERS=1 python bench.py; then
+  echo "FAILED: bench.py smoke"
+  fail=1
+fi
 exit $fail
