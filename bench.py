@@ -24,6 +24,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
+    )
+
+
 def msm_bench():
     import jax
     import jax.numpy as jnp
@@ -199,6 +208,7 @@ def ntt_bench():
 
 
 def main():
+    _enable_compile_cache()
     msm_log2, msm_rate = msm_bench()
 
     # SOL estimate for this chip (documented in benchmarks/SOL.md):

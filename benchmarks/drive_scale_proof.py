@@ -17,6 +17,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
+)
+
 
 def main():
     from contangle_zkcp_tpu.circuits import elgamal
@@ -60,10 +67,27 @@ def main():
     t_setup = time.time() - t0
     print(json.dumps({"phase": "setup", "sec": round(t_setup, 2)}))
 
+    from contangle_zkcp_tpu.utils import metrics
+
+    metrics.registry().reset()  # isolate the prove-phase breakdown
     t0 = time.time()
     proof = eng.prove(pk, cs, rng)
     t_prove = time.time() - t0
     print(json.dumps({"phase": "prove", "sec": round(t_prove, 2)}))
+    # per-phase breakdown (groth16.prove.* + msm.* timers)
+    snap = metrics.registry().snapshot()
+    print(
+        json.dumps(
+            {
+                "phase": "prove_breakdown",
+                "timers": {
+                    k: round(v["total_sec"], 2)
+                    for k, v in sorted(snap["timers"].items())
+                },
+                "counters": snap["counters"],
+            }
+        )
+    )
 
     t0 = time.time()
     ok = eng.verify(vk, cs.public_inputs(), proof)

@@ -429,21 +429,24 @@ class Groth16:
         # ---- H coefficients via device NTTs over the coset
         d = qap.domain
         ntt = _ntt_engine(Fr, d)
-        a_dev, b_dev, c_dev = qap.eval_rows_device(Fr, z)
-        g = fi.FIELD_GENERATORS[r]
-        pa = ntt.inverse(a_dev)
-        pb = ntt.inverse(b_dev)
-        pc = ntt.inverse(c_dev)
-        ea = ntt.coset_forward(pa, g)
-        eb = ntt.coset_forward(pb, g)
-        ec = ntt.coset_forward(pc, g)
-        ab = Fr.mul(ea, eb)
-        num = Fr.sub(ab, ec)
-        zinv = pow((pow(g, d, r) - 1) % r, -1, r)  # Z const on the coset
-        hev = Fr.mul(num, Fr.broadcast_const(zinv, (d,)))
-        h = ntt.coset_inverse(hev, g)
-        # H scalars stay on device: canonical limbs straight into the MSM
-        h_can = Fr.from_mont(h)[: d - 1]
+        with metrics.timer("groth16.prove.witness_eval"):
+            a_dev, b_dev, c_dev = qap.eval_rows_device(Fr, z)
+        with metrics.timer("groth16.prove.ntt_h"):
+            g = fi.FIELD_GENERATORS[r]
+            pa = ntt.inverse(a_dev)
+            pb = ntt.inverse(b_dev)
+            pc = ntt.inverse(c_dev)
+            ea = ntt.coset_forward(pa, g)
+            eb = ntt.coset_forward(pb, g)
+            ec = ntt.coset_forward(pc, g)
+            ab = Fr.mul(ea, eb)
+            num = Fr.sub(ab, ec)
+            zinv = pow((pow(g, d, r) - 1) % r, -1, r)  # Z const on the coset
+            hev = Fr.mul(num, Fr.broadcast_const(zinv, (d,)))
+            h = ntt.coset_inverse(hev, g)
+            # H scalars stay on device: canonical limbs straight into MSM
+            h_can = Fr.from_mont(h)[: d - 1]
+            h_can.block_until_ready()
 
         # ---- MSMs on device
         g1 = ctx.g1
@@ -456,22 +459,28 @@ class Groth16:
         # vector, and the byte-buffer limb conversion is host-serial
         from ..fields.bigint import ints_to_limbs as _itl
 
-        z_limbs = jnp.asarray(_itl(z, -(-r.bit_length() // 16)))
-        a_acc = msm1.run(pk.a_query, z_limbs)
-        b2_acc = msm2.run(pk.b_g2_query, z_limbs)
-        b1_acc = msm1.run(pk.b_g1_query, z_limbs)
-        l_acc = (
-            ctx.msm_g1(_n_points(pk.l_query)).run(
-                pk.l_query, z_limbs[qap.ni :]
+        with metrics.timer("groth16.prove.encode_z"):
+            z_limbs = jnp.asarray(_itl(z, -(-r.bit_length() // 16)))
+        with metrics.timer("groth16.prove.msm_a_g1"):
+            a_acc = msm1.run(pk.a_query, z_limbs)
+        with metrics.timer("groth16.prove.msm_b_g2"):
+            b2_acc = msm2.run(pk.b_g2_query, z_limbs)
+        with metrics.timer("groth16.prove.msm_b_g1"):
+            b1_acc = msm1.run(pk.b_g1_query, z_limbs)
+        with metrics.timer("groth16.prove.msm_l_g1"):
+            l_acc = (
+                ctx.msm_g1(_n_points(pk.l_query)).run(
+                    pk.l_query, z_limbs[qap.ni :]
+                )
+                if _n_points(pk.l_query)
+                else None
             )
-            if _n_points(pk.l_query)
-            else None
-        )
-        h_acc = (
-            ctx.msm_g1(_n_points(pk.h_query)).run(pk.h_query, h_can)
-            if _n_points(pk.h_query)
-            else None
-        )
+        with metrics.timer("groth16.prove.msm_h_g1"):
+            h_acc = (
+                ctx.msm_g1(_n_points(pk.h_query)).run(pk.h_query, h_can)
+                if _n_points(pk.h_query)
+                else None
+            )
 
         td = getattr(pk, "trapdoor", None)
         if td is not None:

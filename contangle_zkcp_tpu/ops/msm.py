@@ -773,38 +773,45 @@ class MSM:
                 )
                 for k, v in points.items()
             }
-        limbs_host = np.asarray(jax.device_get(scalars))
-        if self.signed:
-            order, start, cnt, sgn = self.host_schedule_signed(limbs_host)
-            heavy = self._extract_heavy(points, order, start, cnt, sgn)
-        else:
-            order, start, cnt = self.host_schedule(limbs_host)
-            heavy = self._extract_heavy(points, order, start, cnt)
+        with metrics.timer("msm.host_schedule"):
+            limbs_host = np.asarray(jax.device_get(scalars))
+            if self.signed:
+                order, start, cnt, sgn = self.host_schedule_signed(limbs_host)
+            else:
+                order, start, cnt = self.host_schedule(limbs_host)
+        with metrics.timer("msm.heavy_peel"):
+            heavy = self._extract_heavy(
+                points, order, start, cnt, sgn if self.signed else None
+            )
         metrics.count("msm.points", n)
         metrics.gauge("msm.heavy_buckets", len(heavy))
-        order_d, start_d, cnt_d = (
-            jnp.asarray(order),
-            jnp.asarray(start),
-            jnp.asarray(cnt),
-        )
         # staged dispatches on every backend: they dodge the TPU
         # composed-program miscompile (see _staged_windows) AND keep each
         # XLA:CPU compile small — the fused program's unrolled fold+reduce
         # HLO took 14+ min and multi-GB of compiler memory on CPU.  The
         # fused entries remain for the shard_map path (_bucket_phase).
-        if self.signed:
-            acc = self._bucket_acc_s(
-                points, order_d, start_d, cnt_d, jnp.asarray(sgn)
+        with metrics.timer("msm.bucket_phase"):
+            order_d, start_d, cnt_d = (
+                jnp.asarray(order),
+                jnp.asarray(start),
+                jnp.asarray(cnt),
             )
-        else:
-            acc = self._bucket_acc(points, order_d, start_d, cnt_d)
-        windows = self._staged_windows(acc)
-        wpts = dev.decode_points(windows)
-        res = self._combine_host(wpts)
-        for k, b, pt in heavy:
-            res = dev.host_add(
-                res, self._host_mul_small(b << (k * self.c), pt)
-            )
+            if self.signed:
+                acc = self._bucket_acc_s(
+                    points, order_d, start_d, cnt_d, jnp.asarray(sgn)
+                )
+            else:
+                acc = self._bucket_acc(points, order_d, start_d, cnt_d)
+            acc["x"].block_until_ready()
+        with metrics.timer("msm.reduce_windows"):
+            windows = self._staged_windows(acc)
+            wpts = dev.decode_points(windows)
+        with metrics.timer("msm.host_combine"):
+            res = self._combine_host(wpts)
+            for k, b, pt in heavy:
+                res = dev.host_add(
+                    res, self._host_mul_small(b << (k * self.c), pt)
+                )
         return res
 
     def _combine_host(self, wpts):

@@ -224,9 +224,13 @@ class PallasSWAdd:
         )(*args, *P1, *P2)
 
     def add(self, P, Q, interpret=False):
-        """Drop-in for SWDevice.add on {x,y,z} dict batches (..., L)."""
+        """Drop-in for SWDevice.add on {x,y,z} dict batches (..., L).
+
+        Batch shapes broadcast like the XLA path (e.g. (N,1,L)+(1,M,L))."""
         L, T = self.L, self.lane_tile
-        batch = P["x"].shape[:-1]
+        batch = jnp.broadcast_shapes(P["x"].shape[:-1], Q["x"].shape[:-1])
+        P = {k: jnp.broadcast_to(v, batch + (L,)) for k, v in P.items()}
+        Q = {k: jnp.broadcast_to(v, batch + (L,)) for k, v in Q.items()}
         n = 1
         for d in batch:
             n *= int(d)
