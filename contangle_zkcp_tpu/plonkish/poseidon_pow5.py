@@ -3,16 +3,27 @@
 instance shape used by the reference's ElGamalChip,
 /root/reference/circuits-halo2/src/encryption.rs:83-161).
 
-Constants are generated with the Grain-LFSR procedure from the Poseidon
-reference implementation (generate_parameters_grain.sage): 80-bit LFSR
-seeded with (field=prime, sbox=x^alpha, n, t, R_F, R_P), 160 warm-up
-bits, von-Neumann-filtered output bits; round constants by rejection
-sampling, MDS as a Cauchy matrix over fresh samples.
+Constants are generated with halo2_gadgets' exact Grain-LFSR procedure
+(primitives/poseidon/{grain,mds}.rs, itself derived from the Poseidon
+reference generate_parameters_grain.sage): 80-bit LFSR seeded with
+(field=prime tag 0b01, sbox=x^alpha tag 0b0000, n, t, R_F, R_P, thirty
+1-bits), 160 warm-up bits, von-Neumann-filtered output bits interpreted
+MSB-first; round constants by REJECTION sampling; MDS as a Cauchy matrix
+M[i][j] = 1/(x_i + y_j) over 2T jointly-distinct NON-rejection samples
+(value = 255 LFSR bits reduced mod p — halo2's
+`next_field_element_without_rejection`), with a `secure_mds` skip
+counter (0 for the published P128Pow5T3 instance).
 
-NOTE: exact byte-equality with halo2_gadgets' hard-coded P128Pow5T3
-tables has no in-repo cross-check (the reference exercises this path only
-through MockProver, SURVEY.md §3.5); host and in-circuit implementations
-here are generated from one shared procedure and tested for consistency.
+Validation status: the generated P128Pow5T3 tables for the Pallas base
+field are pinned in `pow5_pinned_pasta.json` and a conformance test
+regenerates and compares them (drift detection).  halo2_gadgets'
+hard-coded fp.rs byte tables are not available in this image (no crates
+on disk, no egress), so byte-equality with the upstream crate rests on
+this being a faithful transcription of its documented algorithm; every
+divergence we know of between the sage reference and halo2 (MDS
+non-rejection sampling, joint 2T uniqueness, MSB-first bit packing) is
+reproduced here.  Reference consumer:
+/root/reference/circuits-halo2/src/encryption.rs:83-161.
 """
 
 from __future__ import annotations
@@ -72,25 +83,39 @@ class Grain:
         return v
 
     def next_field_element(self) -> int:
+        """Rejection sampling, MSB-first (halo2 `next_field_element`)."""
         while True:
             v = self.next_bits(self.n)
             if v < self.p:
                 return v
 
+    def next_field_element_without_rejection(self) -> int:
+        """MSB-first n-bit value reduced mod p (halo2
+        `next_field_element_without_rejection`, used only for MDS)."""
+        return self.next_bits(self.n) % self.p
+
 
 @lru_cache(maxsize=None)
-def pow5_constants(p: int):
-    """(round_constants [(R_F+R_P) x T], mds [T x T])."""
+def pow5_constants(p: int, secure_mds: int = 0):
+    """(round_constants [(R_F+R_P) x T], mds [T x T]) — halo2_gadgets'
+    `generate_constants` + `generate_mds` procedure, exactly."""
     g = Grain(p)
     rc = [[g.next_field_element() for _ in range(T)] for _ in range(R_F + R_P)]
-    # Cauchy MDS: M[i][j] = 1/(x_i + y_j) with distinct samples
+    # MDS (halo2 mds.rs): sample 2T elements WITHOUT rejection until all
+    # 2T are jointly distinct; skip `secure_mds` accepted candidates
+    # (0 for the published P128Pow5T3 tables); Cauchy matrix, asserting
+    # (not resampling) x_i + y_j != 0.
+    select = secure_mds
     while True:
-        xs = [g.next_field_element() for _ in range(T)]
-        ys = [g.next_field_element() for _ in range(T)]
-        if len({*xs}) == T and len({*ys}) == T and all(
-            (x + y) % p != 0 for x in xs for y in ys
-        ):
-            break
+        vals = [g.next_field_element_without_rejection() for _ in range(2 * T)]
+        if len(set(vals)) != 2 * T:
+            continue
+        if select != 0:
+            select -= 1
+            continue
+        xs, ys = vals[:T], vals[T:]
+        break
+    assert all((x + y) % p != 0 for x in xs for y in ys)
     mds = [[pow((xs[i] + ys[j]) % p, -1, p) for j in range(T)] for i in range(T)]
     return rc, mds
 
