@@ -91,21 +91,29 @@ class IPA:
             return b"\x00" * 33
         return bytes([2 + (P[1] & 1)]) + P[0].to_bytes(32, "big")
 
-    def open(self, coeffs, x: int):
+    def open(self, coeffs, x: int, transcript=None):
         """Prove p(x) = v for the committed coefficients.
 
         With the device engine, the generator vector stays resident on
         device across the log-n folding rounds (each fold is two batched
         fixed-scalar ladders + one fused add); the round-1 version folded
         G with per-element host scalar muls — ~n*log(n) host EC ops,
-        hopeless at halo2's k=12."""
+        hopeless at halo2's k=12.
+
+        `transcript`: optional shared Blake2bTranscript (halo2 style —
+        the IPA rounds absorb L/R into the SAME running transcript the
+        outer protocol uses and squeeze challenges from it); without
+        one, the standalone SHA256 chain below keeps old proofs valid."""
         p = SCALAR_P
         a = list(coeffs) + [0] * (self.n - len(coeffs))
         b = [pow(x, i, p) for i in range(self.n)]
         use_dev = self._dev is not None and self.n >= 1024
         G = None if use_dev else list(self.G)
         G_dev = dict(self._G_dev) if use_dev else None
-        transcript = self._pt_bytes(self.commit(coeffs)) + x.to_bytes(32, "big")
+        if transcript is None:
+            chain = self._pt_bytes(self.commit(coeffs)) + x.to_bytes(32, "big")
+        else:
+            transcript.common_scalar(x)
         rounds = []
         while len(a) > 1:
             h = len(a) // 2
@@ -122,10 +130,15 @@ class IPA:
                 G_lo, G_hi = G[:h], G[h:]
                 L = CURVE.add(self._msm_run(G_hi, a_lo), CURVE.mul(vL, self.U))
                 R = CURVE.add(self._msm_run(G_lo, a_hi), CURVE.mul(vR, self.U))
-            transcript = hashlib.sha256(
-                transcript + self._pt_bytes(L) + self._pt_bytes(R)
-            ).digest()
-            u = self._challenge(transcript)
+            if transcript is None:
+                chain = hashlib.sha256(
+                    chain + self._pt_bytes(L) + self._pt_bytes(R)
+                ).digest()
+                u = self._challenge(chain)
+            else:
+                transcript.common_point(L)
+                transcript.common_point(R)
+                u = transcript.squeeze_challenge() % p
             ui = pow(u, -1, p)
             a = [(lo * u + hi * ui) % p for lo, hi in zip(a_lo, a_hi)]
             b = [(lo * ui + hi * u) % p for lo, hi in zip(b_lo, b_hi)]
@@ -157,16 +170,24 @@ class IPA:
         return IpaProof(rounds=rounds, a_final=a[0])
 
     # ------------------------------------------------------------ verify
-    def verify(self, commitment, x: int, v: int, proof: IpaProof) -> bool:
+    def verify(self, commitment, x: int, v: int, proof: IpaProof, transcript=None) -> bool:
         p = SCALAR_P
         P = CURVE.add(commitment, CURVE.mul(v % p, self.U))
-        transcript = self._pt_bytes(commitment) + x.to_bytes(32, "big")
+        if transcript is None:
+            chain = self._pt_bytes(commitment) + x.to_bytes(32, "big")
+        else:
+            transcript.common_scalar(x)
         us = []
         for L, R in proof.rounds:
-            transcript = hashlib.sha256(
-                transcript + self._pt_bytes(L) + self._pt_bytes(R)
-            ).digest()
-            u = self._challenge(transcript)
+            if transcript is None:
+                chain = hashlib.sha256(
+                    chain + self._pt_bytes(L) + self._pt_bytes(R)
+                ).digest()
+                u = self._challenge(chain)
+            else:
+                transcript.common_point(L)
+                transcript.common_point(R)
+                u = transcript.squeeze_challenge() % p
             us.append(u)
             P = CURVE.add(
                 P,

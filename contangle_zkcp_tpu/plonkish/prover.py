@@ -7,8 +7,11 @@ over a radix-2 domain, halo2-style permutation argument for the copy
 constraints (single grand product), halo2-style lookup arguments
 (permuted input/table columns + grand product, the `meta.lookup` model
 the reference's LookupRangeCheckConfig relies on), quotient split into
-degree-n chunks, Fiat-Shamir challenges, and an IPA multiopen at
-{x, wx} plus w^-1 x when lookups are present.
+degree-n chunks, halo2's Blake2b Fiat-Shamir transcript
+(plonkish/transcript.py — points/scalars/challenges absorbed with
+halo2's exact prefixes and encodings, IPA rounds threaded through the
+same running state), and an IPA multiopen at {x, wx} plus w^-1 x when
+lookups are present.
 
 Zero knowledge (round 2): every committed witness polynomial — advice,
 permutation/lookup grand products, permuted lookup columns — is blinded
@@ -33,6 +36,7 @@ import secrets
 from dataclasses import dataclass
 
 from ..fields import instances as fi
+from .transcript import Blake2bTranscript
 from ..ops.ntt import NTT
 from .circuit import Assignment, CircuitMeta
 from .ipa import IPA, CURVE, IpaProof
@@ -64,6 +68,14 @@ def _evals_on_coset(coeffs, size: int):
     return F.decode(_ntt(size).coset_forward(F.encode(padded), GEN))
 
 
+def _evals_on_coset_enc(coeffs, size: int):
+    """Same, but stays device-resident (Montgomery limb array) — feeds
+    the device quotient assembler without a decode/encode round-trip."""
+    F = fi.pasta_fp()
+    padded = list(coeffs) + [0] * (size - len(coeffs))
+    return _ntt(size).coset_forward(F.encode(padded), GEN)
+
+
 def _coeffs_from_coset(evals):
     F = fi.pasta_fp()
     return F.decode(_ntt(len(evals)).coset_inverse(F.encode(list(evals)), GEN))
@@ -74,16 +86,6 @@ def _eval_at(coeffs, x: int) -> int:
     for c in reversed(coeffs):
         acc = (acc * x + c) % P
     return acc
-
-
-def _fs(transcript: bytes) -> int:
-    return int.from_bytes(hashlib.sha256(transcript).digest(), "big") % P
-
-
-def _pt(Pt) -> bytes:
-    if Pt is None:
-        return b"\x00" * 33
-    return bytes([2 + (Pt[1] & 1)]) + Pt[0].to_bytes(32, "big")
 
 
 # ------------------------------------------------------------------ keys
@@ -148,6 +150,8 @@ class PlonkSystem:
         # IPA basis 2n: committed polynomials carry BLIND extra coeffs
         self.ipa = IPA(2 * n, use_device_msm=use_device)
         self.domain_w = fi.root_of_unity(P, n)
+        self.use_device = use_device
+        self._qdev = None  # lazy QuotientDevice (compiled per structure)
         self._build_keys(structural)
 
     # ------------------------------------------------------------- setup
@@ -242,7 +246,9 @@ class PlonkSystem:
         ]
         inst_polys = [_coeffs_from_evals(c) for c in inst_cols]
         advice_comms = [self.ipa.commit(c) for c in advice_polys]
-        transcript = b"plonk" + b"".join(_pt(c) for c in advice_comms)
+        tr = Blake2bTranscript()
+        for c in advice_comms:
+            tr.common_point(c)
 
         # ---- lookups: compress with theta, permute, commit
         base_tables = {
@@ -250,7 +256,7 @@ class PlonkSystem:
             "fixed": [list(c) for c in asg.fixed],
             "instance": inst_cols,
         }
-        theta = _fs(transcript + b"theta")
+        theta = tr.squeeze_challenge()
         lookup_data = []
         for lk in meta.lookups:
             a_vec = [0] * n
@@ -279,12 +285,11 @@ class PlonkSystem:
                 }
             )
         lookup_perm_comms = [(d["ap_comm"], d["sp_comm"]) for d in lookup_data]
-        transcript = hashlib.sha256(
-            transcript
-            + b"".join(_pt(a) + _pt(s) for a, s in lookup_perm_comms)
-        ).digest()
-        beta = _fs(transcript + b"beta")
-        gamma = _fs(transcript + b"gamma")
+        for a_c, s_c in lookup_perm_comms:
+            tr.common_point(a_c)
+            tr.common_point(s_c)
+        beta = tr.squeeze_challenge()
+        gamma = tr.squeeze_challenge()
 
         # ---- permutation grand product on the base domain
         w = self.domain_w
@@ -317,12 +322,134 @@ class PlonkSystem:
             d["z_poly"] = self._blind(_coeffs_from_evals(zl), rng)
             d["z_comm"] = self.ipa.commit(d["z_poly"])
         lookup_z_comms = [d["z_comm"] for d in lookup_data]
-        transcript = hashlib.sha256(
-            transcript + _pt(z_comm) + b"".join(_pt(c) for c in lookup_z_comms)
-        ).digest()
-        alpha = _fs(transcript + b"alpha")
+        tr.common_point(z_comm)
+        for c in lookup_z_comms:
+            tr.common_point(c)
+        alpha = tr.squeeze_challenge()
 
         # ---- quotient on the extended coset
+        if self.use_device:
+            t_evals = self._quotient_device(
+                advice_polys, inst_polys, z_poly, lookup_data,
+                theta, beta, gamma, alpha,
+            )
+        else:
+            t_evals = self._quotient_host(
+                advice_polys, inst_polys, z_poly, lookup_data,
+                theta, beta, gamma, alpha,
+            )
+        t_coeffs = _coeffs_from_coset(t_evals)
+        # split into ext chunks of degree < n
+        t_chunks = [t_coeffs[c * n : (c + 1) * n] for c in range(ext)]
+        t_comms = [self.ipa.commit(c) for c in t_chunks]
+        for c in t_comms:
+            tr.common_point(c)
+        x = tr.squeeze_challenge()
+        wx = x * w % P
+        wix = x * pow(w, -1, P) % P
+
+        evals = {
+            "advice_x": [_eval_at(c, x) for c in advice_polys],
+            "advice_wx": [_eval_at(c, wx) for c in advice_polys],
+            "fixed_x": [_eval_at(c, x) for c in pk.fixed_polys],
+            "sigma_x": [_eval_at(c, x) for c in pk.sigma_polys],
+            "z_x": _eval_at(z_poly, x),
+            "z_wx": _eval_at(z_poly, wx),
+            "t_x": [_eval_at(c, x) for c in t_chunks],
+            "lk_ap_x": [_eval_at(d["ap_poly"], x) for d in lookup_data],
+            "lk_ap_wix": [_eval_at(d["ap_poly"], wix) for d in lookup_data],
+            "lk_sp_x": [_eval_at(d["sp_poly"], x) for d in lookup_data],
+            "lk_z_x": [_eval_at(d["z_poly"], x) for d in lookup_data],
+            "lk_z_wx": [_eval_at(d["z_poly"], wx) for d in lookup_data],
+        }
+        self._absorb_evals(tr, evals)
+        nu = tr.squeeze_challenge()
+
+        # ---- multiopen: combined poly at x, at wx, at w^-1 x
+        def combine(polys):
+            width = 2 * n
+            out = [0] * width
+            s = 1
+            for c in polys:
+                cc = list(c) + [0] * (width - len(c))
+                for i in range(width):
+                    out[i] = (out[i] + s * cc[i]) % P
+                s = s * nu % P
+            return out
+
+        at_x_polys = (
+            advice_polys
+            + pk.fixed_polys
+            + pk.sigma_polys
+            + [z_poly]
+            + t_chunks
+            + [d["ap_poly"] for d in lookup_data]
+            + [d["sp_poly"] for d in lookup_data]
+            + [d["z_poly"] for d in lookup_data]
+        )
+        at_wx_polys = advice_polys + [z_poly] + [d["z_poly"] for d in lookup_data]
+        open_x = self.ipa.open(combine(at_x_polys), x, transcript=tr)
+        open_wx = self.ipa.open(combine(at_wx_polys), wx, transcript=tr)
+        open_wix = None
+        if lookup_data:
+            open_wix = self.ipa.open(
+                combine([d["ap_poly"] for d in lookup_data]), wix, transcript=tr
+            )
+        return PlonkProof(
+            advice_comms=advice_comms,
+            lookup_perm_comms=lookup_perm_comms,
+            z_comm=z_comm,
+            lookup_z_comms=lookup_z_comms,
+            t_comms=t_comms,
+            evals=evals,
+            open_x=open_x,
+            open_wx=open_wx,
+            open_wix=open_wix,
+        )
+
+    # -------------------------------------------------- quotient assembly
+    def _quotient_device(
+        self, advice_polys, inst_polys, z_poly, lookup_data,
+        theta, beta, gamma, alpha,
+    ):
+        """Whole-domain quotient as one compiled device program
+        (plonkish/quotient_device.py); values identical to the host
+        path — both run the same exact Montgomery engine."""
+        from .quotient_device import QuotientDevice
+
+        if self._qdev is None:
+            self._qdev = QuotientDevice(
+                self.meta, self.perm_cols, self.pk.vk.deltas, self.n, self.ext
+            )
+        size = self.ext * self.n
+        pk = self.pk
+        tables = {
+            "advice": [_evals_on_coset_enc(c, size) for c in advice_polys],
+            "fixed": [_evals_on_coset_enc(c, size) for c in pk.fixed_polys],
+            "instance": [_evals_on_coset_enc(c, size) for c in inst_polys],
+        }
+        sigma_ext = [_evals_on_coset_enc(c, size) for c in pk.sigma_polys]
+        z_ext = _evals_on_coset_enc(z_poly, size)
+        lookup_ext = [
+            {
+                "ap": _evals_on_coset_enc(d["ap_poly"], size),
+                "sp": _evals_on_coset_enc(d["sp_poly"], size),
+                "z": _evals_on_coset_enc(d["z_poly"], size),
+            }
+            for d in lookup_data
+        ]
+        return self._qdev.assemble(
+            tables, sigma_ext, z_ext, lookup_ext, theta, beta, gamma, alpha
+        )
+
+    def _quotient_host(
+        self, advice_polys, inst_polys, z_poly, lookup_data,
+        theta, beta, gamma, alpha,
+    ):
+        n, ext, meta = self.n, self.ext, self.meta
+        pk = self.pk
+        size = ext * n
+        m = len(self.perm_cols)
         tables_ext = {
             "advice": [_evals_on_coset(c, size) for c in advice_polys],
             "fixed": [_evals_on_coset(c, size) for c in pk.fixed_polys],
@@ -403,80 +530,12 @@ class PlonkSystem:
                 ) % P
             a_pow = a_pow * pow(alpha, 4, P) % P
         t_evals = [quotient[i] * zh_inv[i] % P for i in range(size)]
-        t_coeffs = _coeffs_from_coset(t_evals)
-        # split into ext chunks of degree < n
-        t_chunks = [t_coeffs[c * n : (c + 1) * n] for c in range(ext)]
-        t_comms = [self.ipa.commit(c) for c in t_chunks]
-        transcript = hashlib.sha256(
-            transcript + b"".join(_pt(c) for c in t_comms)
-        ).digest()
-        x = _fs(transcript + b"x")
-        wx = x * w % P
-        wix = x * pow(w, -1, P) % P
-
-        evals = {
-            "advice_x": [_eval_at(c, x) for c in advice_polys],
-            "advice_wx": [_eval_at(c, wx) for c in advice_polys],
-            "fixed_x": [_eval_at(c, x) for c in pk.fixed_polys],
-            "sigma_x": [_eval_at(c, x) for c in pk.sigma_polys],
-            "z_x": _eval_at(z_poly, x),
-            "z_wx": _eval_at(z_poly, wx),
-            "t_x": [_eval_at(c, x) for c in t_chunks],
-            "lk_ap_x": [_eval_at(d["ap_poly"], x) for d in lookup_data],
-            "lk_ap_wix": [_eval_at(d["ap_poly"], wix) for d in lookup_data],
-            "lk_sp_x": [_eval_at(d["sp_poly"], x) for d in lookup_data],
-            "lk_z_x": [_eval_at(d["z_poly"], x) for d in lookup_data],
-            "lk_z_wx": [_eval_at(d["z_poly"], wx) for d in lookup_data],
-        }
-        transcript = hashlib.sha256(
-            transcript + self._evals_bytes(evals)
-        ).digest()
-        nu = _fs(transcript + b"nu")
-
-        # ---- multiopen: combined poly at x, at wx, at w^-1 x
-        def combine(polys):
-            width = 2 * n
-            out = [0] * width
-            s = 1
-            for c in polys:
-                cc = list(c) + [0] * (width - len(c))
-                for i in range(width):
-                    out[i] = (out[i] + s * cc[i]) % P
-                s = s * nu % P
-            return out
-
-        at_x_polys = (
-            advice_polys
-            + pk.fixed_polys
-            + pk.sigma_polys
-            + [z_poly]
-            + t_chunks
-            + [d["ap_poly"] for d in lookup_data]
-            + [d["sp_poly"] for d in lookup_data]
-            + [d["z_poly"] for d in lookup_data]
-        )
-        at_wx_polys = advice_polys + [z_poly] + [d["z_poly"] for d in lookup_data]
-        open_x = self.ipa.open(combine(at_x_polys), x)
-        open_wx = self.ipa.open(combine(at_wx_polys), wx)
-        open_wix = None
-        if lookup_data:
-            open_wix = self.ipa.open(
-                combine([d["ap_poly"] for d in lookup_data]), wix
-            )
-        return PlonkProof(
-            advice_comms=advice_comms,
-            lookup_perm_comms=lookup_perm_comms,
-            z_comm=z_comm,
-            lookup_z_comms=lookup_z_comms,
-            t_comms=t_comms,
-            evals=evals,
-            open_x=open_x,
-            open_wx=open_wx,
-            open_wix=open_wix,
-        )
+        return t_evals
 
     @staticmethod
-    def _evals_bytes(ev) -> bytes:
+    def _absorb_evals(tr, ev) -> None:
+        """Absorb every claimed evaluation as a transcript scalar, in a
+        fixed order shared by prover and verifier."""
         names = [
             "advice_x",
             "advice_wx",
@@ -489,11 +548,11 @@ class PlonkSystem:
             "lk_z_x",
             "lk_z_wx",
         ]
-        vals = []
         for nme in names:
-            vals.extend(ev[nme])
-        vals.extend([ev["z_x"], ev["z_wx"]])
-        return b"".join(int(v).to_bytes(32, "big") for v in vals)
+            for v in ev[nme]:
+                tr.common_scalar(v)
+        tr.common_scalar(ev["z_x"])
+        tr.common_scalar(ev["z_wx"])
 
     # ------------------------------------------------------------ verify
     def verify(self, proof: PlonkProof, instances) -> bool:
@@ -503,24 +562,22 @@ class PlonkSystem:
         inst_cols = [list(col) + [0] * (n - len(col)) for col in instances]
         inst_polys = [_coeffs_from_evals(c) for c in inst_cols]
 
-        transcript = b"plonk" + b"".join(_pt(c) for c in proof.advice_comms)
-        theta = _fs(transcript + b"theta")
-        transcript = hashlib.sha256(
-            transcript
-            + b"".join(_pt(a) + _pt(s) for a, s in proof.lookup_perm_comms)
-        ).digest()
-        beta = _fs(transcript + b"beta")
-        gamma = _fs(transcript + b"gamma")
-        transcript = hashlib.sha256(
-            transcript
-            + _pt(proof.z_comm)
-            + b"".join(_pt(c) for c in proof.lookup_z_comms)
-        ).digest()
-        alpha = _fs(transcript + b"alpha")
-        transcript = hashlib.sha256(
-            transcript + b"".join(_pt(c) for c in proof.t_comms)
-        ).digest()
-        x = _fs(transcript + b"x")
+        tr = Blake2bTranscript()
+        for c in proof.advice_comms:
+            tr.common_point(c)
+        theta = tr.squeeze_challenge()
+        for a_c, s_c in proof.lookup_perm_comms:
+            tr.common_point(a_c)
+            tr.common_point(s_c)
+        beta = tr.squeeze_challenge()
+        gamma = tr.squeeze_challenge()
+        tr.common_point(proof.z_comm)
+        for c in proof.lookup_z_comms:
+            tr.common_point(c)
+        alpha = tr.squeeze_challenge()
+        for c in proof.t_comms:
+            tr.common_point(c)
+        x = tr.squeeze_challenge()
         w = self.domain_w
         wx = x * w % P
         wix = x * pow(w, -1, P) % P
@@ -529,10 +586,8 @@ class PlonkSystem:
             proof.lookup_z_comms
         ) != len(meta.lookups):
             return False
-        transcript = hashlib.sha256(
-            transcript + self._evals_bytes(ev)
-        ).digest()
-        nu = _fs(transcript + b"nu")
+        self._absorb_evals(tr, ev)
+        nu = tr.squeeze_challenge()
 
         # ---- recompute the identity at x
         inst_x = [_eval_at(c, x) for c in inst_polys]
@@ -657,13 +712,15 @@ class PlonkSystem:
             + ev["lk_z_x"]
         )
         if not self.ipa.verify(
-            combine_comms(at_x_comms), x, combine_vals(at_x_vals), proof.open_x
+            combine_comms(at_x_comms), x, combine_vals(at_x_vals), proof.open_x,
+            transcript=tr,
         ):
             return False
         at_wx_comms = proof.advice_comms + [proof.z_comm] + proof.lookup_z_comms
         at_wx_vals = ev["advice_wx"] + [ev["z_wx"]] + ev["lk_z_wx"]
         if not self.ipa.verify(
-            combine_comms(at_wx_comms), wx, combine_vals(at_wx_vals), proof.open_wx
+            combine_comms(at_wx_comms), wx, combine_vals(at_wx_vals), proof.open_wx,
+            transcript=tr,
         ):
             return False
         if meta.lookups:
@@ -674,5 +731,6 @@ class PlonkSystem:
                 wix,
                 combine_vals(ev["lk_ap_wix"]),
                 proof.open_wix,
+                transcript=tr,
             )
         return True
