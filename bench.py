@@ -47,12 +47,18 @@ def msm_bench():
     log2n = int(os.environ.get("BENCH_MSM_LOG2", "22"))
     c = int(os.environ.get("BENCH_MSM_C", "16"))
     signed = os.environ.get("BENCH_MSM_SIGNED", "1") == "1"
+    engine = os.environ.get("BENCH_MSM_ENGINE", "lockstep")
     n = 1 << log2n
 
     Fq = fi.bls12_381_fq()
     C = ci.BLS12_381_G1
     dev = SWDevice(Fq, C)
-    msm = MSM(dev, scalar_bits=255, c=c, signed=signed)
+    if engine == "tree":
+        from contangle_zkcp_tpu.ops.msm_tree import TreeMSM
+
+        msm = TreeMSM(dev, scalar_bits=255, c=c, signed=signed)
+    else:
+        msm = MSM(dev, scalar_bits=255, c=c, signed=signed)
 
     # cold distinct points: 2^16 fixed-base seeds (distinct 30-bit
     # scalars) crossed with up to 64 distinct offsets via ONE batched
@@ -96,7 +102,15 @@ def msm_bench():
         # right group element on this data.
         m = min(n, 256)
         pre = {k: v[:m] for k, v in points.items()}
-        if signed:
+        if engine == "tree":
+            if signed:
+                o, s0, ct, sg = msm.host_schedule_signed(scal_np[:m])
+            else:
+                (o, s0, ct), sg = msm.host_schedule(scal_np[:m]), None
+            win = msm._staged_windows(
+                msm._bucket_grid_chunk(pre, o, s0, ct, sg)
+            )
+        elif signed:
             o, s0, ct, sg = msm.host_schedule_signed(scal_np[:m])
             win = msm._bucket_sched_s(
                 pre,
@@ -128,6 +142,45 @@ def msm_bench():
                 )
             )
             sys.exit(1)
+
+    if engine == "tree":
+        # the tree engine is host-orchestrated staged dispatch (it CANNOT
+        # run under one fused jit — ops/msm.py:492 staged-reduce
+        # miscompile workaround), so the bench replays its production
+        # device pipeline per iteration: layouts precomputed host-side,
+        # then _device_grid per chunk + grid add + staged window
+        # reduction, synced at the end of each iteration.  Separate jit
+        # dispatches re-execute unconditionally, so no dep-chain trick
+        # is needed.
+        chunk = min(n, msm._chunk_rows(points))
+        parts = []
+        for lo in range(0, n, chunk):
+            pc = {k: v[lo : lo + chunk] for k, v in points.items()}
+            if signed:
+                order, start, cnt, sgn = msm.host_schedule_signed(
+                    scal_np[lo : lo + chunk]
+                )
+            else:
+                order, start, cnt = msm.host_schedule(scal_np[lo : lo + chunk])
+                sgn = None
+            parts.append((pc, msm._layout_for_chunk(order, start, cnt, sgn)))
+
+        def tree_iter():
+            grid = None
+            for pc, layout in parts:
+                g = msm._device_grid(pc, layout)
+                grid = g if grid is None else msm._grid_add_jit(grid, g)
+            win = msm._staged_windows(grid)
+            jax.device_get(win["x"][0, 0] if win["x"].ndim > 1 else win["x"][0])
+            return win
+
+        iters = int(os.environ.get("BENCH_MSM_ITERS", "2"))
+        tree_iter()  # compile + warm
+        t0 = time.time()
+        for _ in range(iters):
+            tree_iter()
+        dt = (time.time() - t0) / iters
+        return log2n, n / dt
 
     # split into the same power-of-two chunks MSM.run uses, so the timed
     # program is the production one AND the packed gather source stays
@@ -217,8 +270,11 @@ def main():
     # 6.9e3 MXU f32 FLOPs (L=24); v5e ~197e12 f32 FLOP/s (bf16x6 ~1/6)
     # => ~3.3e12 effective / (12 * 6.9e3) ~ 40e6 points/s ceiling.
     sol_pts_per_sec = 40e6
+    eng_tag = (
+        "_tree" if os.environ.get("BENCH_MSM_ENGINE") == "tree" else ""
+    )
     out = {
-        "metric": f"bls12_381_g1_msm_2^{msm_log2}_points_per_sec",
+        "metric": f"bls12_381_g1_msm{eng_tag}_2^{msm_log2}_points_per_sec",
         "value": round(msm_rate, 1),
         "unit": "points/s",
         "vs_baseline": round(msm_rate / sol_pts_per_sec, 4),

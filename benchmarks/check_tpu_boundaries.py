@@ -15,10 +15,10 @@ round-2 scale proof died.  Run this on the real chip once per round and
 commit the log (benchmarks/check_tpu_boundaries_r{N}.log).
 
 Semantics of the verdict line:
-  * "guard" checks (2^29 gather; depth-5 fused reduce) MUST pass —
+  * "guard" checks (2^29/2^30 gather; depth-5 fused reduce) MUST pass —
     a failure means the safe side of the boundary moved and the
     workaround bounds are WRONG: stop and re-bisect (exit 1).
-  * "canary" checks (2^30 gather; depth-6 fused reduce) are expected
+  * "canary" checks (2^31 gather headroom; depth-6 fused reduce) are expected
     to fail; a PASS is not an error but is loudly reported — the
     toolchain changed and the workaround may be loosened after a
     fresh bisection (exit 0, "canary_healed": true).
@@ -139,8 +139,14 @@ def check_reduce(depth: int):
 def main():
     results = []
     if os.environ.get("BOUND_SKIP_GATHER") != "1":
-        results.append(("guard", check_gather(20, 128)))   # 2^29 B: must pass
-        results.append(("canary", check_gather(21, 128)))  # 2^30 B: known bad
+        # round 4: the 2^30 gather miscompile healed and a 2^31 probe was
+        # exact (check_tpu_boundaries_r4.log + xcheck probe), so
+        # MAX_GATHER_BYTES was loosened to 2^30 — BOTH sizes are now
+        # guards (the operating bound and one notch above); there is no
+        # known-bad gather size left on this toolchain.
+        results.append(("guard", check_gather(20, 128)))   # 2^29 B
+        results.append(("guard", check_gather(21, 128)))   # 2^30 B: the bound
+        results.append(("canary", check_gather(22, 128)))  # 2^31 B headroom
     if os.environ.get("BOUND_SKIP_REDUCE") != "1":
         results.append(("guard", check_reduce(5)))   # must pass
         results.append(("canary", check_reduce(6)))  # known bad

@@ -91,6 +91,21 @@ class Fq2Device:
         c1 = F._neg_impl(F._mul_impl(a1, ninv))
         return jnp.stack([c0, c1], axis=-2)
 
+    def batch_inv(self, a):
+        """Batched inversion via the norm map: (a0 + a1 u)^-1 =
+        (a0 - a1 u) / (a0^2 + a1^2) — ONE Fp batched inversion (the
+        Montgomery product tree in fp.py) plus two multiplies, so the
+        affine MSM tree pays the same per-level Fermat chain for G2 as
+        for G1.  Zero maps to zero (p = 3 mod 4: the norm vanishes only
+        at zero; Fp.batch_inv is zero-preserving)."""
+        F = self.F
+        a0, a1 = a[..., 0, :], a[..., 1, :]
+        norm = F._add_impl(F._mul_impl(a0, a0), F._mul_impl(a1, a1))
+        ninv = F.batch_inv(norm)
+        c0 = F._mul_impl(a0, ninv)
+        c1 = F._neg_impl(F._mul_impl(a1, ninv))
+        return jnp.stack([c0, c1], axis=-2)
+
     def is_zero(self, a):
         return jnp.all(a == 0, axis=(-1, -2))
 

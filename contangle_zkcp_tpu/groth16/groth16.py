@@ -81,10 +81,14 @@ class CurveCtx:
         cfg = msm_config(group, n, self.r.bit_length())
         if cfg.c == 8 and not cfg.signed:
             return self._msm_g1 if group == "g1" else self._msm_g2
-        key = (group, cfg.c, cfg.signed)
+        key = (group, cfg.c, cfg.signed, cfg.engine)
         if key not in self._msm_cache:
             dev = self.g1_dev if group == "g1" else self.g2_dev
-            self._msm_cache[key] = MSM(
+            if cfg.engine == "tree":
+                from ..ops.msm_tree import TreeMSM as _Eng
+            else:
+                _Eng = MSM
+            self._msm_cache[key] = _Eng(
                 dev,
                 scalar_bits=self.r.bit_length(),
                 c=cfg.c,

@@ -714,14 +714,21 @@ class MSM:
                 acc = add(acc, P)
         return acc
 
-    # bound on the packed gather SOURCE buffer (bytes).  At 2^30 bytes the
-    # bucket loop's gather goes wrong on TPU: G2 at N=2^20 (1KB packed
-    # rows = exactly 2^30) returned wrong window sums while the identical
-    # program at 2^18 and G1 at 2^20 (2^29) were exact — consistent with
-    # int32 byte-offset arithmetic inside the lowered gather.  MSMs whose
-    # source would exceed this are split into power-of-two chunks that
-    # share one compiled program; partial results host-add.
-    MAX_GATHER_BYTES = 1 << 29
+    # bound on the packed gather SOURCE buffer (bytes).  In round 2, at
+    # 2^30 bytes the bucket loop's gather went wrong on TPU: G2 at
+    # N=2^20 (1KB packed rows = exactly 2^30) returned wrong window
+    # sums while the identical program at 2^18 and G1 at 2^20 (2^29)
+    # were exact — consistent with int32 byte-offset arithmetic inside
+    # the lowered gather.  Round 4: the miscompile HEALED on the current
+    # toolchain — the standing boundary check passes the old bad case
+    # (benchmarks/check_tpu_boundaries_r4.log, canary_healed) and a
+    # 2^31-byte probe is exact too — so the bound is loosened one notch
+    # to 2^30 (halving chunk count); check_tpu_boundaries.py re-checks
+    # both sizes every round and a regression shows up as a guard
+    # failure there before it can corrupt a proof.  MSMs whose source
+    # would exceed this are split into power-of-two chunks that share
+    # one compiled program; partial results host-add.
+    MAX_GATHER_BYTES = 1 << 30
 
     def _chunk_rows(self, points) -> int:
         """Largest power-of-two row count whose packed source stays under

@@ -25,6 +25,10 @@ from dataclasses import dataclass
 class MSMConfig:
     c: int
     signed: bool
+    # bucket-accumulation engine: "lockstep" = ops/msm.py projective
+    # while_loop; "tree" = ops/msm_tree.py batch-affine pairwise tree
+    # (one amortized inversion chain per level, no peel pass).
+    engine: str = "lockstep"
 
 
 # Hard cap on the bucket accumulator grid (K * nb rows of packed
