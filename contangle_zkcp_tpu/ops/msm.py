@@ -34,6 +34,13 @@ from ..fields.bigint import LIMB_BITS
 from ..curves.weierstrass import SWDevice
 from ..utils import metrics
 
+# Max chained halving tree-reduction levels fused into one compiled
+# program: the XLA:TPU whole-program miscompile needs >= 6 chained
+# levels (round-3 bisection, xcheck_ulo_levels.log; depth-5 guard
+# re-validated on every round's toolchain by
+# benchmarks/check_tpu_boundaries.py).
+MAX_FUSED_REDUCE_LEVELS = 5
+
 
 def _backend() -> str:
     try:
@@ -137,6 +144,9 @@ class MSM:
         # fold/reduce phases as SEPARATE programs)
         self._tree_level_st = jax.jit(
             self._tree_level, static_argnames=("axis",)
+        )
+        self._tree_levels_st = jax.jit(
+            self._tree_levels, static_argnames=("axis", "levels")
         )
         self._weighted_st = jax.jit(
             self._weighted_run, static_argnames=("offset",)
@@ -517,6 +527,20 @@ class MSM:
         }
         return dev.add(lo, hi)
 
+    def _tree_levels(self, pts, axis: int, levels: int):
+        """Up to MAX_FUSED_REDUCE_LEVELS chained halving levels in ONE
+        program.  The XLA:TPU miscompile needs >= 6 chained levels
+        (depth 5 is the guarded-green side of the bisection, re-checked
+        every round by benchmarks/check_tpu_boundaries.py), so grouping
+        levels <= 5 per dispatch is inside the validated envelope while
+        cutting the staged pipeline's dispatch count ~2-3x — each
+        dispatch through the axon relay costs seconds, which round 4
+        measured as the dominant prove cost (reduce_windows 946 s vs 86 s
+        of actual bucket compute, benchmarks/scale_196608_r4b.log)."""
+        for _ in range(levels):
+            pts = self._tree_level(pts, axis)
+        return pts
+
     def _weighted_run(self, S, offset: int = 0):
         """sum_b (b + offset) * S_b over the (K, nb_) grid S."""
         dev, K = self.dev, self.K
@@ -562,11 +586,19 @@ class MSM:
         }
         T_hi = grid
         while T_hi["x"].shape[2] > 1:
-            T_hi = self._tree_level_st(T_hi, axis=2)
+            lv = min(
+                MAX_FUSED_REDUCE_LEVELS,
+                T_hi["x"].shape[2].bit_length() - 1,
+            )
+            T_hi = self._tree_levels_st(T_hi, axis=2, levels=lv)
         T_hi = {k: jnp.squeeze(v, axis=2) for k, v in T_hi.items()}
         U_lo = grid
         while U_lo["x"].shape[1] > 1:
-            U_lo = self._tree_level_st(U_lo, axis=1)
+            lv = min(
+                MAX_FUSED_REDUCE_LEVELS,
+                U_lo["x"].shape[1].bit_length() - 1,
+            )
+            U_lo = self._tree_levels_st(U_lo, axis=1, levels=lv)
         U_lo = {k: jnp.squeeze(v, axis=1) for k, v in U_lo.items()}
         s_hi = self._weighted_st(T_hi, offset=0)
         s_lo = self._weighted_st(U_lo, offset=1 if self.signed else 0)
