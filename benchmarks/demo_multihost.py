@@ -24,7 +24,10 @@ import sys
 import time
 
 NPROC = 2
-PORT = 19731
+# coordinator port: the launcher binds port 0 to find a free one and
+# passes it to ranks via env (a fixed port deadlocked on collision,
+# ADVICE.md r4); 19731 remains the fallback for direct rank launches.
+PORT = int(os.environ.get("DEMO_MULTIHOST_PORT", "19731"))
 
 
 def rank_main(rank: int):
@@ -39,7 +42,10 @@ def rank_main(rank: int):
     import numpy as np
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older JAX
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     assert jax.process_count() == NPROC, jax.process_count()
@@ -102,12 +108,24 @@ def rank_main(rank: int):
 
 
 def main():
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     procs = []
-    env = dict(os.environ)
+    env = dict(os.environ, DEMO_MULTIHOST_PORT=str(port))
     for r in range(NPROC):
         e = dict(env, DEMO_MULTIHOST_RANK=str(r))
         procs.append(subprocess.Popen([sys.executable, "-u", __file__], env=e))
-    rcs = [p.wait() for p in procs]
+    rcs = []
+    deadline = time.time() + 600
+    for p in procs:
+        try:
+            rcs.append(p.wait(timeout=max(1, deadline - time.time())))
+        except subprocess.TimeoutExpired:
+            p.kill()
+            rcs.append(-9)
     print(json.dumps({"ranks": rcs, "ok": all(rc == 0 for rc in rcs)}), flush=True)
     sys.exit(0 if all(rc == 0 for rc in rcs) else 1)
 

@@ -35,7 +35,10 @@ if os.environ.get("DRIVE_PROTO_CPU") == "1":
     # override is the only reliable way to keep a run off the chip.
     jax.config.update("jax_platforms", "cpu")
 
-N = int(os.environ.get("DRIVE_PROTO_N", "100"))  # data blocks
+# data blocks: ZkSampleEntries requires a power of two (mirrors the
+# reference assert, lib/src/zk/sample_entries.rs:34); the round-4 run
+# crashed at N=100 (ADVICE.md) — default to 128.
+N = int(os.environ.get("DRIVE_PROTO_N", "128"))
 PRICE = 0.25
 
 

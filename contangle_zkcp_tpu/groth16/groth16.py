@@ -86,6 +86,8 @@ class CurveCtx:
             dev = self.g1_dev if group == "g1" else self.g2_dev
             if cfg.engine == "tree":
                 from ..ops.msm_tree import TreeMSM as _Eng
+            elif cfg.engine == "balanced":
+                from ..ops.msm_balanced import BalancedMSM as _Eng
             else:
                 _Eng = MSM
             self._msm_cache[key] = _Eng(

@@ -26,8 +26,10 @@ class MSMConfig:
     c: int
     signed: bool
     # bucket-accumulation engine: "lockstep" = ops/msm.py projective
-    # while_loop; "tree" = ops/msm_tree.py batch-affine pairwise tree
-    # (one amortized inversion chain per level, no peel pass).
+    # while_loop; "balanced" = ops/msm_balanced.py skew-balanced lane
+    # schedule (overflow segments replace the heavy-bucket peel; the
+    # round-5 default at proving scale); "tree" = ops/msm_tree.py
+    # batch-affine pairwise tree (opt-in, measured slower in round 4).
     engine: str = "lockstep"
 
 
@@ -61,8 +63,13 @@ def msm_config(group: str, n: int, scalar_bits: int = 255) -> MSMConfig:
     if n < SMALL_N:
         cfg = MSMConfig(c=8, signed=False)
     elif group == "g1":
-        cfg = MSMConfig(c=16, signed=True)
+        cfg = MSMConfig(c=16, signed=True, engine="balanced")
     else:
+        # G2 stays on the lockstep engine: the balanced engine's staged
+        # window reduction returns wrong windows at the G2 c=12 geometry
+        # on the current TPU toolchain (benchmarks/
+        # xcheck_balanced_g2_bisect.log: lane loop and fold/merge exact,
+        # 21/22 windows wrong downstream) — under investigation.
         cfg = MSMConfig(c=12, signed=True)
     assert (
         grid_bytes(group, cfg.c, cfg.signed, scalar_bits)

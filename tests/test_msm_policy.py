@@ -16,9 +16,13 @@ def test_small_msms_use_plain_c8():
             assert msm_config(group, n) == MSMConfig(c=8, signed=False)
 
 
-def test_large_g1_uses_signed_c16():
-    assert msm_config("g1", 1 << 16) == MSMConfig(c=16, signed=True)
-    assert msm_config("g1", 792330) == MSMConfig(c=16, signed=True)
+def test_large_g1_uses_signed_c16_balanced():
+    assert msm_config("g1", 1 << 16) == MSMConfig(
+        c=16, signed=True, engine="balanced"
+    )
+    assert msm_config("g1", 792330) == MSMConfig(
+        c=16, signed=True, engine="balanced"
+    )
 
 
 def test_large_g2_capped_at_c12():
