@@ -136,6 +136,77 @@ def check_reduce(depth: int):
     }
 
 
+def check_reduce_axis2(depth: int, via_view: bool):
+    """Axis-2 (lo-axis) chained tree reduce at the G2 window geometry.
+
+    Round-5 regression: axis-2 chains return wrong limbs at ANY tested
+    depth on this toolchain while axis-1 chains stay exact
+    (xcheck_g2_staged_probe.log) — this broke both MSM engines' G2 path
+    until the staged reduction switched to an axis-1 chain over a
+    (K*G, Hf) reshaped view (ops/msm.py _staged_windows).  via_view=True
+    checks the WORKAROUND formulation (guard: must pass); False checks
+    the raw axis-2 chain (canary: known bad).
+    """
+    from contangle_zkcp_tpu.groth16.groth16 import curve_ctx
+    from contangle_zkcp_tpu.ops.fixed_base import FixedBaseDevice
+
+    ctx = curve_ctx("bls12_381")
+    gd = ctx.g2_dev
+    K, G, Hf = 22, 64, 32
+    n = K * G * Hf
+    t0 = time.time()
+    fb = FixedBaseDevice(gd, ctx.g2_gen, bits=17, c=6, chunk=1 << 13)
+    flat = fb.mul_ints(list(range(1, n + 1)))
+    grid = {k: v.reshape(K, G, Hf, *v.shape[1:]) for k, v in flat.items()}
+
+    def level(pts, t, axis):
+        half = t // 2
+        lo = {k: jax.lax.slice_in_dim(v, 0, half, axis=axis) for k, v in pts.items()}
+        hi = {k: jax.lax.slice_in_dim(v, half, t, axis=axis) for k, v in pts.items()}
+        return gd._add_impl(lo, hi)
+
+    if via_view:
+        def fused(pts):
+            pts = {k: v.reshape((K * G, Hf) + v.shape[3:]) for k, v in pts.items()}
+            t = Hf
+            for _ in range(depth):
+                pts = level(pts, t, 1)
+                t //= 2
+            return {k: v.reshape((K, G, t) + v.shape[2:]) for k, v in pts.items()}
+    else:
+        def fused(pts):
+            t = Hf
+            for _ in range(depth):
+                pts = level(pts, t, 2)
+                t //= 2
+            return pts
+
+    # staged oracle: one compiled program per level, axis 2 (each single
+    # level is exact on every toolchain tested)
+    staged = grid
+    t = Hf
+    lvl_jit = jax.jit(level, static_argnames=("t", "axis"))
+    for _ in range(depth):
+        staged = lvl_jit(staged, t=t, axis=2)
+        staged = {k: v.block_until_ready() for k, v in staged.items()}
+        t //= 2
+    got = jax.jit(fused)(grid)
+    bad = 0
+    for k in ("x", "y", "z"):
+        want = staged[k]
+        have = got[k].reshape(want.shape)
+        bad += int(
+            jax.device_get(jnp.sum((have != want).astype(jnp.int64)))
+        )
+    return {
+        "check": f"g2_axis2_reduce_depth{depth}_{'view' if via_view else 'raw'}",
+        "grid": [K, G, Hf],
+        "bad_lanes": bad,
+        "ok": bad == 0,
+        "sec": round(time.time() - t0, 1),
+    }
+
+
 def main():
     results = []
     if os.environ.get("BOUND_SKIP_GATHER") != "1":
@@ -150,6 +221,10 @@ def main():
     if os.environ.get("BOUND_SKIP_REDUCE") != "1":
         results.append(("guard", check_reduce(5)))   # must pass
         results.append(("canary", check_reduce(6)))  # known bad
+    if os.environ.get("BOUND_SKIP_AXIS2") != "1":
+        # round-5 regression (see check_reduce_axis2 docstring)
+        results.append(("guard", check_reduce_axis2(5, via_view=True)))
+        results.append(("canary", check_reduce_axis2(5, via_view=False)))
     guard_fail = False
     canary_healed = False
     for kind, r in results:

@@ -98,7 +98,7 @@ def main():
     phase("compile_key_encryption", t0)
 
     chain = MockChain()
-    data = bytes(random.Random(7).randrange(256) for _ in range(N))  # n=100 one-byte blocks
+    data = bytes(random.Random(7).randrange(256) for _ in range(N))  # N one-byte blocks
 
     seller_wallet = LocalWallet.new(random.Random(63))
     buyer_wallet = LocalWallet.new(random.Random(64))
@@ -173,7 +173,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "zkcp_protocol_real_groth16_n100",
+                "metric": f"zkcp_protocol_real_groth16_n{N}",
                 "data_matches": True,
                 "seller_paid_wei": chain.balances[seller_addr],
                 "protocol_sec": round(time.time() - t_all, 2),

@@ -447,6 +447,20 @@ class MSM:
         grid = {k: v.reshape((K, G, Hf) + v.shape[2:]) for k, v in acc.items()}
 
         def tree_sum(pts, axis_len, merge_axis):
+            # merge_axis=2 is flattened to an axis-1 chain on a
+            # (K*G, Hf) view — raw axis-2 chains miscompile on the
+            # round-5 TPU toolchain (xcheck_g2_staged_probe.log).
+            if merge_axis == 2:
+                lead = pts["x"].shape[0] * pts["x"].shape[1]
+                pts = {
+                    k: v.reshape((lead, axis_len) + v.shape[3:])
+                    for k, v in pts.items()
+                }
+                out = tree_sum(pts, axis_len, 1)
+                return {
+                    k: v.reshape((K, lead // K) + v.shape[1:])
+                    for k, v in out.items()
+                }
             t = axis_len
             while t > 1:
                 half = t // 2
@@ -584,14 +598,24 @@ class MSM:
         grid = {
             k: v.reshape((K, G, Hf) + v.shape[2:]) for k, v in acc.items()
         }
-        T_hi = grid
-        while T_hi["x"].shape[2] > 1:
+        # The lo-axis (axis-2) reduction runs as an axis-1 chain on a
+        # (K*G, Hf) view: axis-2 chained tree levels MISCOMPILE on the
+        # round-5 toolchain (xcheck_g2_staged_probe.log: axis2 chain
+        # 1408/1408 wrong G2 cells, axis1 chain exact — a regression
+        # that broke both MSM engines' G2 path while the axis-1-only
+        # boundary guard stayed green).
+        T_hi = {
+            k: v.reshape((K * G, Hf) + v.shape[3:]) for k, v in grid.items()
+        }
+        while T_hi["x"].shape[1] > 1:
             lv = min(
                 MAX_FUSED_REDUCE_LEVELS,
-                T_hi["x"].shape[2].bit_length() - 1,
+                T_hi["x"].shape[1].bit_length() - 1,
             )
-            T_hi = self._tree_levels_st(T_hi, axis=2, levels=lv)
-        T_hi = {k: jnp.squeeze(v, axis=2) for k, v in T_hi.items()}
+            T_hi = self._tree_levels_st(T_hi, axis=1, levels=lv)
+        T_hi = {
+            k: v.reshape((K, G) + v.shape[2:]) for k, v in T_hi.items()
+        }
         U_lo = grid
         while U_lo["x"].shape[1] > 1:
             lv = min(

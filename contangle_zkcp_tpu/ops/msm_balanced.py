@@ -442,11 +442,18 @@ class BalancedMSM(MSM):
         g = {k: v.reshape((K, G, Hf) + v.shape[2:]) for k, v in grid.items()}
         from .msm import MAX_FUSED_REDUCE_LEVELS
 
-        T_hi = g
-        while T_hi["x"].shape[2] > 1:
-            lv = min(MAX_FUSED_REDUCE_LEVELS, T_hi["x"].shape[2].bit_length() - 1)
-            T_hi = self._tree_levels_st(T_hi, axis=2, levels=lv)
-        T_hi = {k: jnp.squeeze(v, axis=2) for k, v in T_hi.items()}
+        # lo-axis reduction as an axis-1 chain on a (K*G, Hf) view:
+        # axis-2 chains miscompile on the round-5 toolchain (see
+        # MSM._staged_windows and xcheck_g2_staged_probe.log).
+        T_hi = {
+            k: v.reshape((K * G, Hf) + v.shape[3:]) for k, v in g.items()
+        }
+        while T_hi["x"].shape[1] > 1:
+            lv = min(MAX_FUSED_REDUCE_LEVELS, T_hi["x"].shape[1].bit_length() - 1)
+            T_hi = self._tree_levels_st(T_hi, axis=1, levels=lv)
+        T_hi = {
+            k: v.reshape((K, G) + v.shape[2:]) for k, v in T_hi.items()
+        }
         U_lo = g
         while U_lo["x"].shape[1] > 1:
             lv = min(MAX_FUSED_REDUCE_LEVELS, U_lo["x"].shape[1].bit_length() - 1)

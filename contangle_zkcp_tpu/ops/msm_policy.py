@@ -65,12 +65,7 @@ def msm_config(group: str, n: int, scalar_bits: int = 255) -> MSMConfig:
     elif group == "g1":
         cfg = MSMConfig(c=16, signed=True, engine="balanced")
     else:
-        # G2 stays on the lockstep engine: the balanced engine's staged
-        # window reduction returns wrong windows at the G2 c=12 geometry
-        # on the current TPU toolchain (benchmarks/
-        # xcheck_balanced_g2_bisect.log: lane loop and fold/merge exact,
-        # 21/22 windows wrong downstream) — under investigation.
-        cfg = MSMConfig(c=12, signed=True)
+        cfg = MSMConfig(c=12, signed=True, engine="balanced")
     assert (
         grid_bytes(group, cfg.c, cfg.signed, scalar_bits)
         <= BUCKET_GRID_BYTES_CAP

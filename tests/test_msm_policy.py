@@ -29,7 +29,7 @@ def test_large_g2_capped_at_c12():
     # G2 rows are 4x G1 bytes; c=16 would put the bucket grid at
     # ~GB-scale (the round-2 TPU worker crash) — policy caps at c=12.
     cfg = msm_config("g2", 792330)
-    assert cfg == MSMConfig(c=12, signed=True)
+    assert cfg == MSMConfig(c=12, signed=True, engine="balanced")
     assert grid_bytes("g2", cfg.c, cfg.signed) <= BUCKET_GRID_BYTES_CAP
     assert grid_bytes("g2", 16, True) > BUCKET_GRID_BYTES_CAP
 
