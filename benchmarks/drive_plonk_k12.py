@@ -50,10 +50,20 @@ def main():
     system = PlonkSystem(meta, n, asg, use_device=True)
     t_setup = time.time() - t0
     print(json.dumps({"phase": "plonk_setup_k12", "sec": round(t_setup, 2)}))
-    t0 = time.time()
-    proof = system.prove(asg, instances)
-    t_prove = time.time() - t0
-    print(json.dumps({"phase": "plonk_prove_k12", "sec": round(t_prove, 2)}))
+    from contangle_zkcp_tpu.utils import metrics
+
+    n_rep = int(os.environ.get("PLONK_REPEAT", "2"))
+    t_prove = None
+    for rep in range(n_rep):
+        metrics.registry().reset()
+        t0 = time.time()
+        proof = system.prove(asg, instances)
+        t_prove = time.time() - t0
+        snap = metrics.registry().snapshot()["timers"]
+        print(json.dumps({"phase": "plonk_prove_k12", "rep": rep,
+                          "sec": round(t_prove, 2),
+                          "timers": {k: round(v["total_sec"], 2)
+                                     for k, v in sorted(snap.items())}}))
     t0 = time.time()
     ok = system.verify(proof, instances)
     t_ver = time.time() - t0

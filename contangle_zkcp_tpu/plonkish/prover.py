@@ -235,17 +235,21 @@ class PlonkSystem:
 
     # ------------------------------------------------------------- prove
     def prove(self, asg: Assignment, instances, rng=None) -> PlonkProof:
+        from ..utils import metrics
+
         n, ext, meta = self.n, self.ext, self.meta
         pk = self.pk
         size = ext * n
         inst_cols = [
             list(col) + [0] * (n - len(col)) for col in instances
         ]
-        advice_polys = [
-            self._blind(_coeffs_from_evals(list(c)), rng) for c in asg.advice
-        ]
-        inst_polys = [_coeffs_from_evals(c) for c in inst_cols]
-        advice_comms = [self.ipa.commit(c) for c in advice_polys]
+        with metrics.timer("plonk.advice_polys"):
+            advice_polys = [
+                self._blind(_coeffs_from_evals(list(c)), rng) for c in asg.advice
+            ]
+            inst_polys = [_coeffs_from_evals(c) for c in inst_cols]
+        with metrics.timer("plonk.advice_commits"):
+            advice_comms = [self.ipa.commit(c) for c in advice_polys]
         tr = Blake2bTranscript()
         for c in advice_comms:
             tr.common_point(c)
@@ -257,6 +261,8 @@ class PlonkSystem:
             "instance": inst_cols,
         }
         theta = tr.squeeze_challenge()
+        _t_lookups = metrics.timer("plonk.lookups")
+        _t_lookups.__enter__()
         lookup_data = []
         for lk in meta.lookups:
             a_vec = [0] * n
@@ -284,6 +290,7 @@ class PlonkSystem:
                     "sp_comm": self.ipa.commit(sp_poly),
                 }
             )
+        _t_lookups.__exit__(None, None, None)
         lookup_perm_comms = [(d["ap_comm"], d["sp_comm"]) for d in lookup_data]
         for a_c, s_c in lookup_perm_comms:
             tr.common_point(a_c)
@@ -292,6 +299,8 @@ class PlonkSystem:
         gamma = tr.squeeze_challenge()
 
         # ---- permutation grand product on the base domain
+        _t_gp = metrics.timer("plonk.grand_products")
+        _t_gp.__enter__()
         w = self.domain_w
         ws = [pow(w, r, P) for r in range(n)]
         cols_v = []
@@ -322,12 +331,15 @@ class PlonkSystem:
             d["z_poly"] = self._blind(_coeffs_from_evals(zl), rng)
             d["z_comm"] = self.ipa.commit(d["z_poly"])
         lookup_z_comms = [d["z_comm"] for d in lookup_data]
+        _t_gp.__exit__(None, None, None)
         tr.common_point(z_comm)
         for c in lookup_z_comms:
             tr.common_point(c)
         alpha = tr.squeeze_challenge()
 
         # ---- quotient on the extended coset
+        _t_q = metrics.timer("plonk.quotient")
+        _t_q.__enter__()
         if self.use_device:
             t_evals = self._quotient_device(
                 advice_polys, inst_polys, z_poly, lookup_data,
@@ -341,13 +353,17 @@ class PlonkSystem:
         t_coeffs = _coeffs_from_coset(t_evals)
         # split into ext chunks of degree < n
         t_chunks = [t_coeffs[c * n : (c + 1) * n] for c in range(ext)]
-        t_comms = [self.ipa.commit(c) for c in t_chunks]
+        with metrics.timer("plonk.t_commits"):
+            t_comms = [self.ipa.commit(c) for c in t_chunks]
+        _t_q.__exit__(None, None, None)
         for c in t_comms:
             tr.common_point(c)
         x = tr.squeeze_challenge()
         wx = x * w % P
         wix = x * pow(w, -1, P) % P
 
+        _t_ev = metrics.timer("plonk.evals")
+        _t_ev.__enter__()
         evals = {
             "advice_x": [_eval_at(c, x) for c in advice_polys],
             "advice_wx": [_eval_at(c, wx) for c in advice_polys],
@@ -362,6 +378,7 @@ class PlonkSystem:
             "lk_z_x": [_eval_at(d["z_poly"], x) for d in lookup_data],
             "lk_z_wx": [_eval_at(d["z_poly"], wx) for d in lookup_data],
         }
+        _t_ev.__exit__(None, None, None)
         self._absorb_evals(tr, evals)
         nu = tr.squeeze_challenge()
 
@@ -388,13 +405,16 @@ class PlonkSystem:
             + [d["z_poly"] for d in lookup_data]
         )
         at_wx_polys = advice_polys + [z_poly] + [d["z_poly"] for d in lookup_data]
-        open_x = self.ipa.open(combine(at_x_polys), x, transcript=tr)
-        open_wx = self.ipa.open(combine(at_wx_polys), wx, transcript=tr)
-        open_wix = None
-        if lookup_data:
-            open_wix = self.ipa.open(
-                combine([d["ap_poly"] for d in lookup_data]), wix, transcript=tr
-            )
+        with metrics.timer("plonk.combine"):
+            cx = combine(at_x_polys)
+            cwx = combine(at_wx_polys)
+            cwix = combine([d["ap_poly"] for d in lookup_data]) if lookup_data else None
+        with metrics.timer("plonk.opens"):
+            open_x = self.ipa.open(cx, x, transcript=tr)
+            open_wx = self.ipa.open(cwx, wx, transcript=tr)
+            open_wix = None
+            if lookup_data:
+                open_wix = self.ipa.open(cwix, wix, transcript=tr)
         return PlonkProof(
             advice_comms=advice_comms,
             lookup_perm_comms=lookup_perm_comms,
