@@ -95,3 +95,26 @@ def test_four_step_ntt_matches_single_chip():
     want = F.decode(eng.forward(a))
     got = F.decode(four.forward(jax.numpy.asarray(a)))
     assert got == want
+
+
+@pytest.mark.parametrize("signed", [False, True])
+def test_sharded_msm_host_scheduled(signed):
+    """run_scheduled: host counting-sort per shard + one shard_map
+    bucket/reduce program (the round-5 path that drops the per-device
+    bitonic argsort).  Exact vs host math, signed and unsigned."""
+    from contangle_zkcp_tpu.curves import instances as ci
+    from contangle_zkcp_tpu.curves.weierstrass import SWDevice
+
+    C = ci.BLS12_381_G1
+    dev = SWDevice(fi.bls12_381_fq(), C)
+    rng = random.Random(37)
+    n = 64
+    pts = [C.mul(rng.randrange(1, C.order), C.generator) for _ in range(n)]
+    scalars = [rng.randrange(C.order) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = 1
+    msm = MSM(dev, scalar_bits=255, c=4, signed=signed)
+    mesh = make_mesh(8)
+    smsm = ShardedMSM(msm, mesh)
+    got = smsm.run_scheduled(pts, scalars)
+    assert got == msm_host(C, pts, scalars)
